@@ -1,0 +1,122 @@
+"""Serialization of block summaries and proof artifacts.
+
+JSON/CBOR/JSONL with extension auto-detect, mirroring the reference's I/O
+surface (crates/sezkp-core/src/io.rs, io_jsonl.rs). CBOR bytes are
+bit-compatible with ciborium; JSON is read/write compatible (whitespace may
+differ, which nothing hashes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable, Iterator, List, Sequence
+
+from ..utils import cbor
+from .artifact import ProofArtifact
+from .types import BlockSummary
+
+__all__ = [
+    "read_block_summaries_auto",
+    "write_block_summaries_auto",
+    "stream_block_summaries_auto",
+    "stream_block_summaries_jsonl",
+    "write_block_summaries_jsonl",
+    "read_proof_auto",
+    "write_proof_auto",
+]
+
+
+def _ext(path: str) -> str:
+    return os.path.splitext(path)[1].lower().lstrip(".")
+
+
+def _ensure_parent(path: str) -> None:
+    d = os.path.dirname(os.path.abspath(path))
+    if d:
+        os.makedirs(d, exist_ok=True)
+
+
+# ------------------------------ blocks ------------------------------------
+
+
+def read_block_summaries_auto(path: str) -> List[BlockSummary]:
+    e = _ext(path)
+    with open(path, "rb") as f:
+        data = f.read()
+    if e == "json":
+        objs = json.loads(data)
+    elif e == "cbor":
+        objs = cbor.loads(data)
+    else:
+        raise ValueError(f"unsupported blocks extension: {e} (expected .json/.cbor)")
+    return [BlockSummary.from_obj(o) for o in objs]
+
+
+def write_block_summaries_auto(path: str, blocks: Sequence[BlockSummary]) -> None:
+    e = _ext(path)
+    _ensure_parent(path)
+    objs = [b.to_obj() for b in blocks]
+    if e == "cbor":
+        with open(path, "wb") as f:
+            f.write(cbor.dumps(objs))
+    elif e in ("jsonl", "ndjson"):
+        write_block_summaries_jsonl(path, blocks)
+    else:
+        with open(path, "w") as f:
+            json.dump(objs, f, indent=2)
+
+
+def stream_block_summaries_jsonl(path: str) -> Iterator[BlockSummary]:
+    with open(path, "r") as f:
+        for line_no, line in enumerate(f, 1):
+            line = line.rstrip("\r\n")
+            if not line:
+                raise ValueError(f"parse jsonl line {line_no}: empty line")
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError as e:
+                raise ValueError(f"parse jsonl line {line_no}: {e}") from e
+            yield BlockSummary.from_obj(obj)
+
+
+def write_block_summaries_jsonl(path: str, blocks: Iterable[BlockSummary]) -> None:
+    _ensure_parent(path)
+    with open(path, "w") as f:
+        for b in blocks:
+            json.dump(b.to_obj(), f, separators=(",", ":"))
+            f.write("\n")
+
+
+def stream_block_summaries_auto(path: str) -> Iterator[BlockSummary]:
+    e = _ext(path)
+    if e in ("jsonl", "ndjson"):
+        return stream_block_summaries_jsonl(path)
+    if e in ("json", "cbor"):
+        return iter(read_block_summaries_auto(path))
+    raise ValueError(f"unsupported blocks extension: {e}")
+
+
+# ------------------------------ proofs ------------------------------------
+
+
+def read_proof_auto(path: str) -> ProofArtifact:
+    e = _ext(path)
+    with open(path, "rb") as f:
+        data = f.read()
+    if e == "json":
+        return ProofArtifact.from_obj(json.loads(data))
+    if e == "cbor":
+        return ProofArtifact.from_obj(cbor.loads(data))
+    raise ValueError(f"unsupported proof extension: {e}")
+
+
+def write_proof_auto(path: str, art: ProofArtifact) -> None:
+    e = _ext(path)
+    _ensure_parent(path)
+    if e == "cbor":
+        with open(path, "wb") as f:
+            f.write(cbor.dumps(art.to_obj()))
+    else:
+        with open(path, "w") as f:
+            json.dump(art.to_obj(), f, indent=2)
