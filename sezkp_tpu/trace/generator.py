@@ -1,0 +1,42 @@
+"""Deterministic synthetic trace generator.
+
+Bit-exact with the reference (crates/sezkp-trace/src/generator.rs:38-73):
+StdRng seeded with 42; per step draw input_mv in {-1,0,1}; per tape draw
+write with prob 0.4 (symbol 0..=15) then mv in {-1,0,1}.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.types import MovementLog
+from .format import TraceFile
+from .rng import ChaChaRng
+
+__all__ = ["generate_trace"]
+
+_MV = (-1, 0, 1)
+
+
+def generate_trace(t: int, tau: int) -> TraceFile:
+    rng = ChaChaRng.std_rng(42)
+
+    input_mv = np.zeros(t, dtype=np.int8)
+    tape_mv = np.zeros((t, tau), dtype=np.int8)
+    write_flag = np.zeros((t, tau), dtype=bool)
+    write_sym = np.zeros((t, tau), dtype=np.uint16)
+
+    for i in range(t):
+        input_mv[i] = _MV[rng.random_range_u32(0, 2)]
+        for r in range(tau):
+            if rng.random_bool(0.4):
+                write_flag[i, r] = True
+                write_sym[i, r] = rng.random_range_u16(0, 15)
+            tape_mv[i, r] = _MV[rng.random_range_u32(0, 2)]
+
+    return TraceFile(
+        version=1,
+        tau=tau,
+        steps=MovementLog(input_mv, tape_mv, write_flag, write_sym),
+        meta=None,
+    )

@@ -1,0 +1,82 @@
+"""Trace frontend: generator RNG parity, partition semantics, trace I/O."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE, reference_available
+
+from sezkp_tpu.core.io import read_block_summaries_auto
+from sezkp_tpu.trace.format import TraceFile
+from sezkp_tpu.trace.generator import generate_trace
+from sezkp_tpu.trace.partition import partition_trace
+from sezkp_tpu.trace.rng import ChaChaRng, seed_from_u64
+from sezkp_tpu.utils import cbor
+
+
+def test_chacha_stdrng_is_deterministic():
+    a = ChaChaRng.std_rng(42)
+    b = ChaChaRng.std_rng(42)
+    assert [a.next_u32() for _ in range(100)] == [b.next_u32() for _ in range(100)]
+    assert seed_from_u64(42) == seed_from_u64(42)
+    assert seed_from_u64(42) != seed_from_u64(43)
+
+
+def test_generate_trace_shapes():
+    tf = generate_trace(10, 3)
+    assert len(tf) == 10 and tf.tau == 3
+    assert tf.steps.tape_mv.shape == (10, 3)
+    assert np.all(np.abs(tf.steps.input_mv) <= 1)
+    assert np.all(np.abs(tf.steps.tape_mv) <= 1)
+    assert np.all(tf.steps.write_sym <= 15)
+
+
+def test_partition_basic_blocks():
+    tf = generate_trace(10, 2)
+    v = partition_trace(tf, 4)
+    assert [(b.step_lo, b.step_hi) for b in v] == [(1, 4), (5, 8), (9, 10)]
+
+
+def test_partition_empty():
+    from sezkp_tpu.core.types import MovementLog
+
+    tf = TraceFile(version=1, tau=2, steps=MovementLog.empty(2), meta=None)
+    assert partition_trace(tf, 4) == []
+
+
+def test_partition_windows_contain_postmove_heads():
+    tf = generate_trace(64, 4)
+    for b in partition_trace(tf, 16):
+        heads = np.cumsum(b.movement_log.tape_mv.astype(np.int64), axis=0)
+        assert np.all(heads.min(axis=0).clip(max=0) >= b.windows[:, 0])
+        assert np.all(heads.max(axis=0).clip(min=0) <= b.windows[:, 1])
+        assert np.all(b.head_in_offsets.astype(np.int64) == -b.windows[:, 0])
+
+
+def test_input_head_is_global():
+    tf = generate_trace(32, 1)
+    blocks = partition_trace(tf, 8)
+    for a, b in zip(blocks, blocks[1:]):
+        assert a.in_head_out == b.in_head_in
+    total = int(np.sum(tf.steps.input_mv.astype(np.int64)))
+    assert blocks[-1].in_head_out == total
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_generator_rng_bit_parity_with_rust():
+    golden = read_block_summaries_auto(os.path.join(REFERENCE, "blocks.cbor"))
+    t = sum(b.n_steps for b in golden)
+    tf = generate_trace(t, golden[0].tau)
+    mine = partition_trace(tf, golden[0].n_steps)
+    assert len(mine) == len(golden)
+    for a, b in zip(mine, golden):
+        assert a == b
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_trace_cbor_roundtrip_byte_exact():
+    path = os.path.join(REFERENCE, "examples/minimal-riscv/trace.cbor")
+    raw = open(path, "rb").read()
+    tf = TraceFile.from_obj(cbor.loads(raw))
+    assert cbor.dumps(tf.to_obj()) == raw
