@@ -119,23 +119,34 @@ def inv(x: int) -> int:
     return pow(x, _P_INT - 2, _P_INT)
 
 
+def _scan_prod_exclusive(a: np.ndarray) -> np.ndarray:
+    """Exclusive prefix products via log-doubling (O(log n) vector passes)."""
+    n = a.shape[0]
+    pref = np.empty(n, dtype=np.uint64)
+    pref[0] = 1
+    pref[1:] = a[:-1]
+    shift = 1
+    while shift < n:
+        nxt = pref.copy()
+        nxt[shift:] = mul(pref[shift:], pref[:-shift])
+        pref = nxt
+        shift <<= 1
+    return pref
+
+
 def inv_array(a) -> np.ndarray:
-    """Batch inversion via Montgomery's trick (one scalar inversion total)."""
+    """Batch inversion: 1/a[i] = prefix_excl[i] * suffix_excl[i] * inv(total).
+
+    One scalar Fermat inversion + O(log n) vectorized multiply passes."""
     a = _u64(a).ravel()
     n = a.shape[0]
     if n == 0:
         return a
-    prefix = np.empty(n, dtype=np.uint64)
-    acc = np.uint64(1)
-    for i in range(n):
-        prefix[i] = acc
-        acc = mul(acc, a[i])
-    acc_inv = np.uint64(inv(int(acc)))
-    out = np.empty(n, dtype=np.uint64)
-    for i in range(n - 1, -1, -1):
-        out[i] = mul(acc_inv, prefix[i])
-        acc_inv = mul(acc_inv, a[i])
-    return out
+    pre = _scan_prod_exclusive(a)
+    suf = _scan_prod_exclusive(a[::-1])[::-1]
+    total = mul(pre[-1], a[-1])
+    total_inv = np.uint64(inv(int(total)))
+    return mul(mul(pre, suf), total_inv)
 
 
 def from_i64(x) -> np.ndarray:

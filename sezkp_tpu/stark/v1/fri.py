@@ -1,0 +1,133 @@
+"""FRI folding + layer commitments, vectorized.
+
+Fold rule y'[i] = y[i] + beta * y[i + half] and transcript schedule match
+crates/sezkp-stark/src/v1/fri.rs. Each fold is one vectorized mulmod/addmod;
+each layer commitment is one batched leaf-hash pass + log-level parent
+passes.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from ...crypto import blake3
+from ...crypto.transcript import Blake3Transcript
+from ...ops import goldilocks as G
+from . import params
+from .merkle import MerkleTree, hash_field_leaves
+from .proof import FriQuery
+
+
+def layer_tree(vals: np.ndarray) -> MerkleTree:
+    return MerkleTree.from_leaves(hash_field_leaves(G.to_le_bytes(vals)))
+
+
+def fold(vals: np.ndarray, beta: int) -> np.ndarray:
+    half = vals.shape[0] // 2
+    return G.add(vals[:half], G.mul(np.uint64(beta), vals[half:]))
+
+
+def fri_commit(
+    tr: Blake3Transcript, a0: np.ndarray
+) -> Tuple[List[bytes], List[np.ndarray], List[int]]:
+    """Commit all layers: bind root0, derive betas, fold + bind each root.
+
+    Returns (roots, layers, betas); layers[0] is a0."""
+    n = a0.shape[0]
+    assert n & (n - 1) == 0, "FRI layer0 len must be pow2"
+    layers = [a0]
+    root0 = layer_tree(a0).root()
+    tr.absorb(params.DS_FRI_LAYER_ROOT, root0)
+
+    n_folds = n.bit_length() - 1
+    betas = params.derive_betas_for_fri(tr, n_folds)
+
+    roots = [root0]
+    for r in range(n_folds):
+        layers.append(fold(layers[-1], betas[r]))
+        root = layer_tree(layers[-1]).root()
+        tr.absorb(params.DS_FRI_LAYER_ROOT, root)
+        roots.append(root)
+    return roots, layers, betas
+
+
+def fri_open_query(layers: List[np.ndarray], trees: List[MerkleTree], idx: int) -> FriQuery:
+    positions: List[int] = []
+    pairs = []
+    for li, layer in enumerate(layers):
+        positions.append(idx)
+        if layer.shape[0] == 1:
+            break
+        half = layer.shape[0] // 2
+        j = idx ^ half
+        vi = G.to_le_bytes(layer[idx]).tobytes()
+        vj = G.to_le_bytes(layer[j]).tobytes()
+        pairs.append((vi, trees[li].open(idx), vj, trees[li].open(j)))
+        idx %= half
+    return FriQuery(positions=positions, pairs=pairs)
+
+
+def fri_verify(
+    tr: Blake3Transcript,
+    roots: List[bytes],
+    queries: List[FriQuery],
+    final_value_le: bytes,
+) -> None:
+    if not roots:
+        raise ValueError("no FRI roots")
+    n_layers = len(roots)
+
+    tr.absorb(params.DS_FRI_LAYER_ROOT, roots[0])
+    betas = params.derive_betas_for_fri(tr, max(n_layers - 1, 0))
+
+    final_hash = hash_field_leaves(
+        np.frombuffer(final_value_le, dtype=np.uint8).reshape(1, 8)
+    )[0].tobytes()
+    if roots[-1] != final_hash:
+        raise ValueError("final FRI value mismatch with last root")
+
+    p = int(G.P)
+    for q in queries:
+        if len(q.positions) != n_layers:
+            raise ValueError("positions length mismatch")
+        if len(q.pairs) != max(n_layers - 1, 0):
+            raise ValueError("pairs length mismatch")
+
+        idx = q.positions[0]
+        layer_len = 1 << (n_layers - 1)
+        for l in range(n_layers - 1):
+            half = layer_len // 2
+            j = idx ^ half
+            vi_le, path_i, vj_le, path_j = q.pairs[l]
+            leaf_i = hash_field_leaves(
+                np.frombuffer(vi_le, dtype=np.uint8).reshape(1, 8)
+            )[0].tobytes()
+            leaf_j = hash_field_leaves(
+                np.frombuffer(vj_le, dtype=np.uint8).reshape(1, 8)
+            )[0].tobytes()
+            if not MerkleTree.verify(roots[l], leaf_i, idx, path_i):
+                raise ValueError(f"FRI Merkle path failed at layer {l}")
+            if not MerkleTree.verify(roots[l], leaf_j, j, path_j):
+                raise ValueError(f"FRI Merkle path failed at layer {l}")
+
+            vi = int.from_bytes(vi_le, "little") % p
+            vj = int.from_bytes(vj_le, "little") % p
+            lower, upper = (vi, vj) if idx < half else (vj, vi)
+            v_fold = (lower + betas[l] * upper) % p
+
+            expected_next = idx % half
+            if q.positions[l + 1] != expected_next:
+                raise ValueError(f"FRI index propagation failed at layer {l}")
+
+            if l + 1 < n_layers - 1:
+                vi1 = int.from_bytes(q.pairs[l + 1][0], "little") % p
+                if vi1 != v_fold:
+                    raise ValueError(f"FRI fold mismatch at layer {l}")
+            else:
+                if v_fold.to_bytes(8, "little") != final_value_le:
+                    raise ValueError("final FRI value mismatch")
+
+            idx = expected_next
+            layer_len = half

@@ -1,0 +1,176 @@
+"""STARK v1 prover (column commitments + DEEP coset LDE + FRI + openings).
+
+Transcript schedule is byte-identical to crates/sezkp-stark/src/v1/prover.rs:
+  manifest_root, n, tau -> col roots -> alphas -> masks -> ood point ->
+  fri layer roots (root0 then betas then folded roots) -> AIR row queries ->
+  FRI queries.
+
+TPU-first re-architecture of the compute:
+- the composition polynomial is evaluated for ALL rows in one vectorized pass
+  (the reference evaluates per-row, re-deriving omega^i incrementally);
+- the DEEP coset LDE (INTT -> coset NTT -> divide) runs as one fused JAX
+  program on device for large domains (ops/ntt_jax.deep_coset_lde_u64);
+- FRI layer hashing/folding is batched;
+- openings are answered from cached chunked commitments, not by re-driving
+  the whole LDE stream per query (reference prover.rs:312-398 re-streams the
+  full pipeline once per tree level per query — same proof bytes, radically
+  different schedule).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from ...core.types import BlockSummary
+from ...crypto.transcript import Blake3Transcript
+from ...ops import goldilocks as G
+from ...ops import ntt as ntt_host
+from . import params
+from .air import Alphas, compose_all_rows
+from .columns import TraceColumns
+from .fri import fri_open_query, fri_commit, layer_tree
+from .masking import (
+    DEFAULT_MASK_DEG,
+    DEFAULT_N_MASKS,
+    derive_mask_coeffs,
+    eval_masks_sum_at_points,
+)
+from .openings import ColumnEngine
+from .proof import FriQuery, PerTapeOpen, ProofV1, RowOpenings
+
+# Domain-size threshold above which the fused JAX/TPU LDE kernel is used.
+# Below this the host numpy path wins (the device kernel's one-time compile
+# cost dominates at small sizes).
+JAX_LDE_MIN_LOG2 = 15
+
+
+def _next_wrap(idx: int, n: int) -> int:
+    if n == 0:
+        return 0
+    return idx + 1 if idx + 1 < n else 0
+
+
+def _nudge_off_coset(z: int, shift: int, lde_k_log2: int) -> int:
+    p = int(G.P)
+    shift_inv = G.inv(shift)
+    def on_coset(zz: int) -> bool:
+        t = zz * shift_inv % p
+        for _ in range(lde_k_log2):
+            t = t * t % p
+        return t == 1
+    while on_coset(z):
+        z = (z + 1) % p
+    return z
+
+
+def _deep_lde(base_vals: np.ndarray, blow_log2: int, shift: int, z: int) -> np.ndarray:
+    n = base_vals.shape[0]
+    base_log2 = n.bit_length() - 1
+    if base_log2 >= JAX_LDE_MIN_LOG2:
+        try:
+            from ...ops import ntt_jax
+
+            return ntt_jax.deep_coset_lde_u64(base_vals, blow_log2, shift, z)
+        except Exception:
+            pass
+    coeffs = ntt_host.interpolate_from_evals(base_vals)
+    y = ntt_host.evaluate_on_coset_pow2(coeffs, base_log2 + blow_log2, shift)
+    lde_n = 1 << (base_log2 + blow_log2)
+    xs = G.mul(
+        np.uint64(shift), ntt_host.powers(G.primitive_root_2exp(base_log2 + blow_log2), lde_n)
+    )
+    denom = G.sub(xs, np.uint64(z))
+    return G.mul(y, G.inv_array(denom))
+
+
+def prove_v1(blocks: Sequence[BlockSummary], manifest_root: bytes) -> ProofV1:
+    tc = TraceColumns.build(blocks)
+    n = tc.n
+    assert n & (n - 1) == 0 and n > 0, "trace length must be a power of two"
+
+    tr = Blake3Transcript(params.DS_V1_DOMAIN)
+    tr.absorb("manifest_root", manifest_root)
+    tr.absorb_u64("n", n)
+    tr.absorb_u64("tau", tc.tau)
+
+    # ---- column commitments (batched) ----
+    engine = ColumnEngine(tc, params.COL_CHUNK_LOG2)
+    col_roots = engine.build_roots()
+    tr.absorb_u64(params.DS_N_COLS, len(col_roots))
+    for cr in col_roots:
+        tr.absorb(params.DS_COL_ROOT, cr.root)
+
+    # ---- alphas / masks / OOD point ----
+    alphas = Alphas.from_list(params.derive_alphas(tr))
+    mask_coeffs = derive_mask_coeffs(tr, DEFAULT_MASK_DEG, DEFAULT_N_MASKS)
+
+    blow_log2 = params.BLOWUP.bit_length() - 1
+    base_log2 = n.bit_length() - 1
+    lde_k_log2 = base_log2 + blow_log2
+    lde_n = 1 << lde_k_log2
+
+    shift = 3
+    z = params.derive_ood_point(tr)
+    z = _nudge_off_coset(z, shift, lde_k_log2)
+
+    # ---- base composition + ZK masks, vectorized over all rows ----
+    comp = compose_all_rows(tc, alphas)
+    w_base_pows = ntt_host.powers(G.primitive_root_2exp(base_log2), n)
+    base_vals = G.add(comp, eval_masks_sum_at_points(mask_coeffs, w_base_pows))
+
+    # ---- DEEP coset LDE (fused device kernel for large domains) ----
+    lde_vals = _deep_lde(base_vals, blow_log2, shift, z)
+
+    # ---- FRI commit: bind root0, betas, fold + bind roots ----
+    roots, layers, betas = fri_commit(tr, lde_vals)
+    trees = [layer_tree(layer) for layer in layers]
+    fri_final_value_le = G.to_le_bytes(layers[-1][0]).tobytes()
+
+    # ---- AIR query openings ----
+    rows = params.derive_queries(tr, n, params.NUM_QUERIES)
+    queries: List[RowOpenings] = []
+    for row in rows:
+        ip1 = _next_wrap(row, n)
+        per_tape = []
+        for r in range(tc.tau):
+            per_tape.append(
+                PerTapeOpen(
+                    mv=engine.open(f"mv_{r}", row),
+                    next_mv=engine.open(f"mv_{r}", ip1),
+                    write_flag=engine.open(f"wflag_{r}", row),
+                    write_sym=engine.open(f"wsym_{r}", row),
+                    head=engine.open(f"head_{r}", row),
+                    next_head=engine.open(f"head_{r}", ip1),
+                    win_len=engine.open(f"winlen_{r}", row),
+                    in_off=engine.open(f"in_off_{r}", row),
+                    out_off=engine.open(f"out_off_{r}", row),
+                )
+            )
+        queries.append(
+            RowOpenings(
+                row=row,
+                per_tape=per_tape,
+                is_first=engine.open("is_first", row),
+                is_last=engine.open("is_last", row),
+                input_mv=engine.open("input_mv", row),
+            )
+        )
+
+    # ---- FRI queries ----
+    fri_rows = params.derive_queries(tr, lde_n, params.NUM_QUERIES)
+    fri_queries: List[FriQuery] = [
+        fri_open_query(layers, trees, idx0) for idx0 in fri_rows
+    ]
+
+    return ProofV1(
+        domain_n=lde_n,
+        tau=tc.tau,
+        col_roots=col_roots,
+        queries=queries,
+        fri_roots=roots,
+        fri_queries=fri_queries,
+        fri_final_value_le=fri_final_value_le,
+        manifest_root=manifest_root,
+    )

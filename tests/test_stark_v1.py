@@ -1,0 +1,160 @@
+"""STARK v1: e2e prove/verify, bincode roundtrip, adversarial AIR tests.
+
+Mirrors the reference test strategy (crates/sezkp-stark/tests/*): valid
+blocks use window-anchored walks (left = 0) like the reference's demo blocks;
+negative tests follow the "prover OR verifier must reject; else the
+full-column composition must be non-zero" pattern (air_fail_bit_range.rs).
+"""
+
+import numpy as np
+import pytest
+
+from sezkp_tpu.core.types import BlockSummary, MovementLog
+from sezkp_tpu.ops import goldilocks as G
+from sezkp_tpu.stark.backends import StarkV1
+from sezkp_tpu.stark.v1 import proof as PM
+from sezkp_tpu.stark.v1.air import Alphas, compose_all_rows
+from sezkp_tpu.stark.v1.columns import TraceColumns
+from sezkp_tpu.stark.v1.prover import prove_v1
+from sezkp_tpu.stark.v1.verify import verify_v1
+
+
+def demo_block(t: int, block_id: int = 1, step_lo: int = 1, tau: int = 1) -> BlockSummary:
+    """Anchored demo block: mv alternates {1,0}, writes symbol 5 every 3rd row
+    (reference: tests/air_ok.rs demo_block)."""
+    mv = np.array([[1 if i % 2 == 0 else 0] * tau for i in range(t)], dtype=np.int8)
+    wf = np.array([[i % 3 == 0] * tau for i in range(t)], dtype=bool)
+    ws = np.where(wf, 5, 0).astype(np.uint16)
+    head_last = int(mv[:, 0].astype(np.int64).sum())
+    return BlockSummary(
+        version=1,
+        block_id=block_id,
+        step_lo=step_lo,
+        step_hi=step_lo + t - 1,
+        ctrl_in=0,
+        ctrl_out=0,
+        in_head_in=0,
+        in_head_out=0,
+        windows=np.array([[0, max(t, 1) - 1]] * tau, dtype=np.int64),
+        head_in_offsets=np.zeros(tau, dtype=np.uint32),
+        head_out_offsets=np.full(tau, head_last, dtype=np.uint32),
+        movement_log=MovementLog(
+            input_mv=np.zeros(t, dtype=np.int8),
+            tape_mv=mv,
+            write_flag=wf,
+            write_sym=ws,
+        ),
+        pre_tags=[b"\x00" * 16] * tau,
+        post_tags=[b"\x00" * 16] * tau,
+    )
+
+
+def demo_blocks(n_blocks: int, t: int, tau: int = 1):
+    return [
+        demo_block(t, block_id=i + 1, step_lo=1 + i * t, tau=tau)
+        for i in range(n_blocks)
+    ]
+
+
+MANIFEST = bytes([7]) * 32
+
+
+def test_v1_valid_proof_verifies_single_block():
+    blocks = [demo_block(16)]
+    art = StarkV1.prove(blocks, MANIFEST)
+    StarkV1.verify(art, blocks, MANIFEST)
+
+
+def test_v1_valid_proof_verifies_multi_block_multi_tape():
+    blocks = demo_blocks(4, 16, tau=2)
+    art = StarkV1.prove(blocks, MANIFEST)
+    StarkV1.verify(art, blocks, MANIFEST)
+
+
+def test_v1_proof_bincode_roundtrip():
+    blocks = demo_blocks(2, 16)
+    p = prove_v1(blocks, MANIFEST)
+    data = PM.encode_proof(p)
+    p2 = PM.decode_proof(data)
+    assert PM.encode_proof(p2) == data
+    verify_v1(p2, blocks)
+
+
+def test_v1_rejects_wrong_manifest_binding():
+    blocks = [demo_block(16)]
+    art = StarkV1.prove(blocks, MANIFEST)
+    with pytest.raises(ValueError):
+        StarkV1.verify(art, blocks, bytes([8]) * 32)
+
+
+def test_v1_rejects_tampered_proof_bytes():
+    blocks = [demo_block(16)]
+    art = StarkV1.prove(blocks, MANIFEST)
+    bad = bytearray(art.proof_bytes)
+    bad[50] ^= 0xFF
+    art.proof_bytes = bytes(bad)
+    with pytest.raises(Exception):
+        StarkV1.verify(art, blocks, MANIFEST)
+
+
+def _prove_verify_or_composition_nonzero(blocks):
+    """Reference negative-test pattern: prover or verifier rejects, or the
+    full-column composition is non-zero somewhere."""
+    try:
+        art = StarkV1.prove(blocks, MANIFEST)
+    except Exception:
+        return
+    try:
+        StarkV1.verify(art, blocks, MANIFEST)
+    except Exception:
+        return
+    tc = TraceColumns.build(blocks)
+    alphas = Alphas.from_list([1] * 8)
+    comp = compose_all_rows(tc, alphas)
+    assert np.any(comp != 0), "invalid block must violate the AIR somewhere"
+
+
+def test_air_fail_bit_range_symbol_too_wide():
+    b = demo_block(16)
+    b.movement_log.write_flag[0, 0] = True
+    b.movement_log.write_sym[0, 0] = 32  # > 4-bit range
+    _prove_verify_or_composition_nonzero([b])
+
+
+def test_air_fail_endpoint_corrupt_in_offset():
+    b = demo_block(16)
+    b.head_in_offsets = np.array([3], dtype=np.uint32)  # breaks boundary_first
+    _prove_verify_or_composition_nonzero([b])
+
+
+def test_air_fail_endpoint_corrupt_out_offset():
+    b = demo_block(16)
+    b.head_out_offsets = np.array([0], dtype=np.uint32)  # exit head is 8
+    _prove_verify_or_composition_nonzero([b])
+
+
+def test_air_fail_write_outside_window():
+    b = demo_block(16)
+    # Shrink the window so late writes land outside it; slack goes negative.
+    b.windows = np.array([[0, 2]], dtype=np.int64)
+    b.head_out_offsets = np.array([2], dtype=np.uint32)
+    _prove_verify_or_composition_nonzero([b])
+
+
+def test_full_composition_zero_on_interior_rows_of_valid_block():
+    blocks = demo_blocks(2, 16)
+    tc = TraceColumns.build(blocks)
+    alphas = Alphas.from_list(list(range(2, 10)))
+    comp = compose_all_rows(tc, alphas)
+    # Interior rows (not first/last of a block, and not wrapping row n-1)
+    interior = np.ones(tc.n, dtype=bool)
+    interior[tc.is_first == 1] = False
+    interior[tc.is_last == 1] = False
+    assert np.all(comp[interior] == 0)
+
+
+def test_column_head_semantics_post_move():
+    blocks = [demo_block(8)]
+    tc = TraceColumns.build(blocks)
+    mv = blocks[0].movement_log.tape_mv[:, 0].astype(np.int64)
+    assert np.array_equal(tc.head[0], G.from_i64(np.cumsum(mv)))
