@@ -206,11 +206,23 @@ class Frontier:
             lvl += 1
 
     def finalize_root(self) -> bytes:
+        """Fold pending slots lowest -> highest with the accumulator on the
+        RIGHT, which reproduces the batch left-balanced odd-promotion root at
+        every size.
+
+        NOTE (deliberate fix vs reference): the reference's finalize_root
+        (merkle/lib.rs:196-207) folds highest -> lowest with the accumulator
+        on the left, which contradicts its own batch `merkle_root` (and its
+        own frontier==batch unit test, lib.rs:474-497) for leaf counts with
+        three or more set bits (first divergence at n=7). We implement the
+        documented intent — frontier == batch everywhere — which is
+        bit-identical to the reference for all power-of-two counts and all
+        golden artifacts."""
         acc: Optional[bytes] = None
-        for node in reversed(self.slots):
+        for node in self.slots:
             if node is None:
                 continue
-            acc = node if acc is None else node_hash(acc, node)
+            acc = node if acc is None else node_hash(node, acc)
         return acc if acc is not None else b"\x00" * 32
 
 

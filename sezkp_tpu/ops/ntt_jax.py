@@ -150,16 +150,30 @@ def _jit_deep_lde(base_log2: int, lde_log2: int, shift: int):
 
 
 def _pow_p_minus_2(x: FJ.F2) -> FJ.F2:
-    """x^(p-2) elementwise (Fermat inverse); fixed 64-step square-and-multiply."""
+    """x^(p-2) elementwise (Fermat inverse).
+
+    Runs the 64-bit square-and-multiply under lax.fori_loop: fully unrolled,
+    the ~6000-op dependency chain trips an exponential-time XLA:CPU compile
+    pathology (see ops/blake3_jax.py compress_batch for the same issue)."""
     e = 0xFFFFFFFF00000001 - 2
+    bits = jnp.asarray(
+        np.array([(e >> i) & 1 for i in range(64)], dtype=np.uint32)
+    )
     acc = FJ.scalar(1, x[0].shape)
-    base = x
-    while e:
-        if e & 1:
-            acc = FJ.mul(acc, base)
-        e >>= 1
-        if e:
-            base = FJ.mul(base, base)
+    acc = (jnp.broadcast_to(acc[0], x[0].shape), jnp.broadcast_to(acc[1], x[0].shape))
+
+    def body(i, carry):
+        acc, base = carry
+        mul_acc = FJ.mul(acc, base)
+        take = bits[i] > 0
+        acc = (
+            jnp.where(take, mul_acc[0], acc[0]),
+            jnp.where(take, mul_acc[1], acc[1]),
+        )
+        base = FJ.mul(base, base)
+        return acc, base
+
+    acc, _ = jax.lax.fori_loop(0, 64, body, (acc, x))
     return acc
 
 

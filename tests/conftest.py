@@ -18,6 +18,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon TPU plugin in this image ignores the JAX_PLATFORMS env var set
+# above; force the CPU backend through the config API as well (must happen
+# before any backend is initialized).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 REFERENCE = "/root/reference"
 
 

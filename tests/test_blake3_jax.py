@@ -1,0 +1,53 @@
+"""On-device (JAX) batched BLAKE3 vs host implementation."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from sezkp_tpu.crypto import blake3 as B3
+from sezkp_tpu.crypto.blake3 import merkle_root_leaves
+from sezkp_tpu.commit.merkle import Frontier
+from sezkp_tpu.ops import blake3_jax as BJ
+from sezkp_tpu.ops import goldilocks as G
+from sezkp_tpu.stark.v1.merkle import hash_field_leaves_labeled
+
+
+@pytest.fixture(scope="module")
+def vals():
+    rng = np.random.default_rng(0)
+    return rng.integers(0, int(G.P), 256, dtype=np.uint64)
+
+
+def test_device_fri_leaf_hashing_matches_host(vals):
+    dev = BJ.hash_field_leaves_device(vals)
+    host = B3.hash_many(G.to_le_bytes(vals))
+    assert np.array_equal(dev, host)
+
+
+@pytest.mark.parametrize("label", ["mv_0", "input_mv", "winlen_13", "x"])
+def test_device_labeled_leaf_hashing_matches_host(vals, label):
+    prefix = b"col_leaf" + struct.pack("<I", len(label)) + label.encode()
+    dev = BJ.hash_field_leaves_device(vals[:64], prefix)
+    host = hash_field_leaves_labeled(G.to_le_bytes(vals[:64]), label)
+    assert np.array_equal(dev, host)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 5, 7, 8, 13, 16, 31, 100])
+def test_device_merkle_root_matches_host_batch(vals, n):
+    leaves = B3.hash_many(G.to_le_bytes(vals[:n]))
+    assert BJ.merkle_root_device(leaves) == merkle_root_leaves(leaves)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 8, 9, 13, 16, 17, 31, 32, 33])
+def test_frontier_matches_batch_at_all_sizes(vals, n):
+    """The reference's own documented intent (merkle/lib.rs:474-497); see the
+    finalize_root docstring for the deliberate fix vs the reference code."""
+    leaves = B3.hash_many(G.to_le_bytes(vals[:n]))
+    fr = Frontier()
+    for i in range(n):
+        fr.push_leaf(leaves[i].tobytes())
+    assert fr.finalize_root() == merkle_root_leaves(leaves)
+    fr2 = Frontier()
+    fr2.push_leaves(leaves)
+    assert fr2.finalize_root() == merkle_root_leaves(leaves)
