@@ -31,21 +31,23 @@ __all__ = [
 
 
 def _ntt_stages(a: FJ.F2, tables, n_log2: int) -> FJ.F2:
+    """Radix-2 DIT stages over the LAST axis; leading axes are batch dims."""
     n = 1 << n_log2
     perm = jnp.asarray(ntt_host.bitrev_permutation(n))
-    lo, hi = a[0][perm], a[1][perm]
+    lo, hi = a[0][..., perm], a[1][..., perm]
+    batch = lo.shape[:-1]
     for s in range(1, n_log2 + 1):
         half = 1 << (s - 1)
-        shape = (n >> s, 2, half)
+        shape = batch + (n >> s, 2, half)
         lo_b = lo.reshape(shape)
         hi_b = hi.reshape(shape)
-        u = (lo_b[:, 0, :], hi_b[:, 0, :])
+        u = (lo_b[..., 0, :], hi_b[..., 0, :])
         w = tables[s - 1]
-        v = FJ.mul((lo_b[:, 1, :], hi_b[:, 1, :]), (w[0][None, :], w[1][None, :]))
+        v = FJ.mul((lo_b[..., 1, :], hi_b[..., 1, :]), (w[0], w[1]))
         s0 = FJ.add(u, v)
         s1 = FJ.sub(u, v)
-        lo = jnp.stack([s0[0], s1[0]], axis=1).reshape(n)
-        hi = jnp.stack([s0[1], s1[1]], axis=1).reshape(n)
+        lo = jnp.stack([s0[0], s1[0]], axis=-2).reshape(batch + (n,))
+        hi = jnp.stack([s0[1], s1[1]], axis=-2).reshape(batch + (n,))
     return lo, hi
 
 

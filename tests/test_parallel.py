@@ -1,0 +1,115 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Bit-exactness requirement (SURVEY.md section 7.8): multi-host output must
+equal single-host output exactly.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from sezkp_tpu.ops import goldilocks as G
+from sezkp_tpu.ops import goldilocks_jax as FJ
+from sezkp_tpu.ops import ntt as N
+from sezkp_tpu.ops import ntt_jax as NJ
+from sezkp_tpu.parallel.commit_sharded import sharded_merkle_root_u64
+from sezkp_tpu.parallel.mesh import make_mesh
+from sezkp_tpu.parallel.ntt_sharded import sharded_ntt_u64
+from sezkp_tpu.parallel.prove_step import build_prove_step
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(8)
+
+
+@needs_8
+@pytest.mark.parametrize("k", [8, 10])
+def test_sharded_forward_ntt_bit_exact(mesh8, k):
+    rng = np.random.default_rng(k)
+    a = rng.integers(0, int(G.P), 1 << k, dtype=np.uint64)
+    assert np.array_equal(sharded_ntt_u64(a, mesh8), N.forward_ntt(a))
+
+
+@needs_8
+@pytest.mark.parametrize("k", [8, 10])
+def test_sharded_inverse_ntt_bit_exact(mesh8, k):
+    rng = np.random.default_rng(k)
+    a = rng.integers(0, int(G.P), 1 << k, dtype=np.uint64)
+    assert np.array_equal(
+        sharded_ntt_u64(a, mesh8, inverse=True), N.inverse_ntt(a)
+    )
+
+
+@needs_8
+def test_sharded_merkle_root_bit_exact(mesh8):
+    from sezkp_tpu.crypto import blake3 as B3
+
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, int(G.P), 1 << 9, dtype=np.uint64)
+    got = sharded_merkle_root_u64(vals, mesh8)
+    want = B3.merkle_root_leaves(B3.hash_many(G.to_le_bytes(vals)))
+    assert got == want
+
+
+@needs_8
+def test_sharded_prove_step_lde_bit_exact(mesh8):
+    """The distributed DEEP-LDE inside the sharded prove step must equal the
+    single-chip fused kernel."""
+    base_log2 = 6
+    n = 1 << base_log2
+    rng = np.random.default_rng(1)
+    base_vals = rng.integers(0, int(G.P), n, dtype=np.uint64)
+    col_vals = rng.integers(0, int(G.P), n, dtype=np.uint64)
+    z = 987654321
+    beta = 55555
+
+    f = build_prove_step(mesh8, base_log2)
+    col = FJ.pack(col_vals)
+    base = FJ.pack(base_vals)
+    b1 = base_log2 // 2
+    zp = FJ.pack(np.uint64(z))
+    bp = FJ.pack(np.uint64(beta))
+    col_roots, (ylo, yhi), folded, fri_roots = f(
+        col[0],
+        col[1],
+        base[0].reshape(1 << b1, -1),
+        base[1].reshape(1 << b1, -1),
+        zp[0],
+        zp[1],
+        bp[0],
+        bp[1],
+    )
+    # y[k1, k2] with k = k1 + ln1*k2 -> natural order via transpose
+    y = FJ.unpack((ylo, yhi))
+    got = np.ascontiguousarray(y.T).reshape(-1)
+    want = NJ.deep_coset_lde_u64(base_vals, 3, 3, z)
+    assert np.array_equal(got, want)
+
+    # first FRI fold parity
+    half = want.shape[0] // 2
+    fold_want = G.add(want[:half], G.mul(np.uint64(beta), want[half:]))
+    fold_got = FJ.unpack((folded[0], folded[1]))
+    fold_nat = np.ascontiguousarray(fold_got.T).reshape(-1)
+    assert np.array_equal(fold_nat[:half], fold_want)
+
+
+@needs_8
+@pytest.mark.parametrize("nd", [2, 4, 8])
+def test_prove_step_compiles_at_mesh_sizes(nd):
+    mesh = make_mesh(nd)
+    f = build_prove_step(mesh, 6)
+    rng = np.random.default_rng(0)
+    n = 64
+    col = FJ.pack(rng.integers(0, int(G.P), n, dtype=np.uint64))
+    base = FJ.pack(rng.integers(0, int(G.P), n, dtype=np.uint64))
+    zp = FJ.pack(np.uint64(7))
+    bp = FJ.pack(np.uint64(9))
+    out = f(
+        col[0], col[1], base[0].reshape(8, 8), base[1].reshape(8, 8),
+        zp[0], zp[1], bp[0], bp[1],
+    )
+    jax.block_until_ready(out)
+    assert out[0].shape == (nd, 8)
