@@ -44,7 +44,7 @@ class StarkV1:
     def prove_streaming(
         blocks: Sequence[BlockSummary], manifest_root: bytes
     ) -> ProofArtifact:
-        proof = prove_v1(blocks, manifest_root)
+        proof = prove_v1(blocks, manifest_root, streaming=True)
         return ProofArtifact(
             backend=BackendKind.STARK,
             manifest_root=manifest_root,

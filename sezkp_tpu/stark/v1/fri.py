@@ -24,6 +24,52 @@ def layer_tree(vals: np.ndarray) -> MerkleTree:
     return MerkleTree.from_leaves(hash_field_leaves(G.to_le_bytes(vals)))
 
 
+class StreamingLayerBuilder:
+    """Streaming Merkle root over a FRI layer (reference: fri_stream.rs:52-122).
+
+    Absorbs 8-byte LE leaves in chunks keeping only a per-level stack; for
+    the power-of-two layer lengths FRI produces, the root is identical to
+    `layer_tree(...).root()`. Chunk hashing is batched."""
+
+    def __init__(self, layer_len: int):
+        self.expected = layer_len
+        self.seen = 0
+        self.stack: list = []
+
+    def absorb_leaves_u64(self, vals: np.ndarray) -> None:
+        from ...crypto import blake3 as b3
+
+        hashes = hash_field_leaves(G.to_le_bytes(vals))
+        self.seen += int(hashes.shape[0])
+        for i in range(hashes.shape[0]):
+            cur = hashes[i].tobytes()
+            lvl = 0
+            while True:
+                if len(self.stack) <= lvl:
+                    self.stack.append(None)
+                if self.stack[lvl] is None:
+                    self.stack[lvl] = cur
+                    break
+                left = self.stack[lvl]
+                self.stack[lvl] = None
+                cur = b3.hash_bytes(left + cur)
+                lvl += 1
+
+    def finalize(self) -> bytes:
+        from ...crypto import blake3 as b3
+
+        assert self.seen == self.expected, (
+            f"StreamingLayerBuilder absorbed {self.seen} leaves, "
+            f"expected {self.expected}"
+        )
+        acc = None
+        for node in self.stack:
+            if node is None:
+                continue
+            acc = node if acc is None else b3.hash_bytes(node + acc)
+        return acc if acc is not None else b"\x00" * 32
+
+
 def fold(vals: np.ndarray, beta: int) -> np.ndarray:
     half = vals.shape[0] // 2
     return G.add(vals[:half], G.mul(np.uint64(beta), vals[half:]))

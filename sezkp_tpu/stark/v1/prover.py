@@ -85,7 +85,12 @@ def _deep_lde(base_vals: np.ndarray, blow_log2: int, shift: int, z: int) -> np.n
     return G.mul(y, G.inv_array(denom))
 
 
-def prove_v1(blocks: Sequence[BlockSummary], manifest_root: bytes) -> ProofV1:
+def prove_v1(
+    blocks: Sequence[BlockSummary], manifest_root: bytes, streaming: bool = False
+) -> ProofV1:
+    """Produce a v1 proof. `streaming=True` selects the O(chunk)-memory
+    column engine (recompute-on-open) — same proof bytes, different memory
+    schedule (reference: StarkV1::prove_streaming, lib.rs:170-191)."""
     tc = TraceColumns.build(blocks)
     n = tc.n
     assert n & (n - 1) == 0 and n > 0, "trace length must be a power of two"
@@ -95,8 +100,13 @@ def prove_v1(blocks: Sequence[BlockSummary], manifest_root: bytes) -> ProofV1:
     tr.absorb_u64("n", n)
     tr.absorb_u64("tau", tc.tau)
 
-    # ---- column commitments (batched) ----
-    engine = ColumnEngine(tc, params.COL_CHUNK_LOG2)
+    # ---- column commitments (batched; streaming = chunked recompute) ----
+    if streaming:
+        from .openings import StreamingColumnEngine
+
+        engine = StreamingColumnEngine(blocks, params.COL_CHUNK_LOG2)
+    else:
+        engine = ColumnEngine(tc, params.COL_CHUNK_LOG2)
     col_roots = engine.build_roots()
     tr.absorb_u64(params.DS_N_COLS, len(col_roots))
     for cr in col_roots:
