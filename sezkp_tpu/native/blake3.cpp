@@ -337,3 +337,13 @@ void b3_merkle_root(const uint8_t *leaves, size_t n, uint8_t *out) {
 }
 
 }  // extern "C"
+
+// ---- C ABI version surface (reference: crates/sezkp-ffi/src/lib.rs:49-99) --
+
+extern "C" {
+
+unsigned int sezkp_abi_version() { return 1u; }
+
+const char *sezkp_version() { return "0.1.0"; }
+
+}  // extern "C"
