@@ -39,7 +39,12 @@ def main() -> None:
     lo = jax.device_put(lo)
     hi = jax.device_put(hi)
 
-    f = NJ._jit_ntt(K, False)
+    from sezkp_tpu.ops import ntt_pallas as NP
+
+    if jax.default_backend() == "tpu":
+        f = NP._build(min(10, K // 2), K - min(10, K // 2), False)
+    else:
+        f = NJ._jit_ntt(K, False)
     out = f(lo, hi)
     jax.block_until_ready(out)  # compile + warm
 

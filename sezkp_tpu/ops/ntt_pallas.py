@@ -1,0 +1,223 @@
+"""Pallas four-step NTT for Goldilocks on TPU.
+
+The stage-by-stage XLA NTT (ops/ntt_jax.py) makes ~2 full HBM passes per
+butterfly stage (log n passes total). This kernel restructures the transform
+as the classic four-step decomposition n = n1 * n2:
+
+  phase A (one pallas_call, grid over column tiles):
+      load A[:, tile] into VMEM -> all log2(n1) butterfly stages in VMEM ->
+      multiply by the inter-phase twiddles w^(j2*k1) -> write back
+  phase B (one pallas_call, grid over row tiles):
+      load [tile, n2] -> all log2(n2) stages in VMEM -> write back
+
+Total HBM traffic: a handful of passes, independent of log n. Outputs are
+bit-identical to ops/ntt.forward_ntt / inverse_ntt (cross-tested).
+
+Mosaic constraints shape the kernel body: no multi-dim reshapes, no strided
+slices, no gathers. Each butterfly stage is therefore expressed with
+`pltpu.roll` (partner exchange), an iota mask (block halves), and
+per-position twiddle ROWS precomputed on host (row s holds
+w_m^((i & (2^(s-1)-1)) * 2^(L-s)) for every position i). The bit-reverse
+permutation runs as an XLA gather outside the kernels.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import goldilocks as G
+from . import goldilocks_jax as FJ
+from . import ntt as ntt_host
+
+# Tile sizes (lanes = 128 wide; sublanes sized to fit VMEM comfortably).
+TILE_COLS = 128
+TILE_ROWS = 64
+
+
+def _roll(x, shift: int, axis: int, interpret: bool):
+    if interpret:
+        return jnp.roll(x, shift, axis=axis)
+    # pltpu.roll requires a non-negative shift; rolling by -s == rolling by m-s.
+    m = x.shape[axis]
+    return pltpu.roll(x, shift % m, axis=axis)
+
+
+def _stages_roll(lo, hi, wlo, whi, n_log2: int, axis: int, interpret: bool):
+    """All butterfly stages along `axis` of a 2-D tile (bit-reversed input).
+
+    wlo/whi: per-position twiddle tables shaped [n_log2, m] for axis=1 or
+    [m, n_log2] for axis=0 (m = transform length)."""
+    m = lo.shape[axis]
+    assert m == 1 << n_log2
+    pos = jax.lax.broadcasted_iota(jnp.uint32, lo.shape, axis)
+    for s in range(1, n_log2 + 1):
+        half = 1 << (s - 1)
+        mask = (pos & np.uint32(half)) == 0
+        xl_lo = _roll(lo, half, axis, interpret)
+        xl_hi = _roll(hi, half, axis, interpret)
+        xr_lo = _roll(lo, -half, axis, interpret)
+        xr_hi = _roll(hi, -half, axis, interpret)
+        u = (jnp.where(mask, lo, xl_lo), jnp.where(mask, hi, xl_hi))
+        v = (jnp.where(mask, xr_lo, lo), jnp.where(mask, xr_hi, hi))
+        if axis == 1:
+            wl = wlo[s - 1 : s, :]  # [1, m] broadcasts over rows
+            wh = whi[s - 1 : s, :]
+        else:
+            wl = wlo[:, s - 1 : s]  # [m, 1] broadcasts over cols
+            wh = whi[:, s - 1 : s]
+        wv = FJ.mul(v, (wl, wh))
+        add = FJ.add(u, wv)
+        sub = FJ.sub(u, wv)
+        lo = jnp.where(mask, add[0], sub[0])
+        hi = jnp.where(mask, add[1], sub[1])
+    return lo, hi
+
+
+def _position_tables(m_log2: int, inverse: bool) -> np.ndarray:
+    """u64 [m_log2, m]: row s-1 holds w_m^((i & (half-1)) * 2^(L-s))."""
+    m = 1 << m_log2
+    w = G.primitive_root_2exp(m_log2)
+    if inverse:
+        w = G.inv(w)
+    wp = ntt_host.powers(w, max(m // 2, 1))
+    out = np.zeros((max(m_log2, 1), m), dtype=np.uint64)
+    i = np.arange(m)
+    for s in range(1, m_log2 + 1):
+        half = 1 << (s - 1)
+        step = 1 << (m_log2 - s)
+        out[s - 1] = wp[(i & (half - 1)) * step]
+    return out
+
+
+@lru_cache(maxsize=16)
+def _twiddle_matrix(n1_log2: int, n2_log2: int, inverse: bool):
+    """T[k1, j2] = w_n^(k1*j2) as packed u32 planes [n1, n2]."""
+    n1, n2 = 1 << n1_log2, 1 << n2_log2
+    n_log2 = n1_log2 + n2_log2
+    w = G.primitive_root_2exp(n_log2)
+    if inverse:
+        w = G.inv(w)
+    wp = ntt_host.powers(w, 1 << n_log2)
+    k1 = np.arange(n1, dtype=np.uint64)[:, None]
+    j2 = np.arange(n2, dtype=np.uint64)[None, :]
+    idx = (k1 * j2) & np.uint64((1 << n_log2) - 1)
+    return FJ.pack(wp[idx])
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+@lru_cache(maxsize=16)
+def _build(n1_log2: int, n2_log2: int, inverse: bool):
+    n1, n2 = 1 << n1_log2, 1 << n2_log2
+    n = n1 * n2
+    tc = min(TILE_COLS, n2)
+    # Keep each tile plane <= ~2^17 elements so the kernel working set
+    # (inputs + outputs + butterfly temporaries, double-buffered) fits VMEM.
+    tr = max(8, min(TILE_ROWS, (1 << 17) // n2)) if n2 > 0 else TILE_ROWS
+    tr = min(tr, n1)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    # phase A transforms along axis 0 -> [m, L] column tables
+    w1 = FJ.pack(np.ascontiguousarray(_position_tables(n1_log2, inverse).T))
+    # phase B transforms along axis 1 -> [L, m] row tables
+    w2 = FJ.pack(_position_tables(n2_log2, inverse))
+    tmat = _twiddle_matrix(n1_log2, n2_log2, inverse)
+    inv_n = FJ.pack(np.uint64(G.inv(n))) if inverse else None
+    interp = _interpret()
+
+    def phase_a_kernel(alo, ahi, wlo, whi, tlo, thi, olo, ohi):
+        lo, hi = _stages_roll(
+            alo[:, :], ahi[:, :], wlo[:, :], whi[:, :], n1_log2, 0, interp
+        )
+        lo, hi = FJ.mul((lo, hi), (tlo[:, :], thi[:, :]))
+        olo[:, :] = lo
+        ohi[:, :] = hi
+
+    def phase_b_kernel(alo, ahi, wlo, whi, olo, ohi):
+        lo, hi = _stages_roll(
+            alo[:, :], ahi[:, :], wlo[:, :], whi[:, :], n2_log2, 1, interp
+        )
+        olo[:, :] = lo
+        ohi[:, :] = hi
+
+    col_spec = pl.BlockSpec((n1, tc), lambda i: (0, i))
+    row_spec = pl.BlockSpec((tr, n2), lambda i: (i, 0))
+    w1_spec = pl.BlockSpec((n1, max(n1_log2, 1)), lambda i: (0, 0))
+    w2_spec = pl.BlockSpec((max(n2_log2, 1), n2), lambda i: (0, 0))
+
+    perm1 = jnp.asarray(ntt_host.bitrev_permutation(n1))
+    perm2 = jnp.asarray(ntt_host.bitrev_permutation(n2))
+
+    def f(lo_flat, hi_flat):
+        # bit-reverse permutations run as XLA gathers outside the kernels
+        alo = lo_flat.reshape(n1, n2)[perm1, :]
+        ahi = hi_flat.reshape(n1, n2)[perm1, :]
+        blo, bhi = pl.pallas_call(
+            phase_a_kernel,
+            grid=(n2 // tc,),
+            in_specs=[col_spec, col_spec, w1_spec, w1_spec, col_spec, col_spec],
+            out_specs=[col_spec, col_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((n1, n2), jnp.uint32),
+                jax.ShapeDtypeStruct((n1, n2), jnp.uint32),
+            ],
+            interpret=interp,
+            compiler_params=None if interp else params,
+        )(alo, ahi, w1[0], w1[1], tmat[0], tmat[1])
+
+        blo = blo[:, perm2]
+        bhi = bhi[:, perm2]
+        ylo, yhi = pl.pallas_call(
+            phase_b_kernel,
+            grid=(n1 // tr,),
+            in_specs=[row_spec, row_spec, w2_spec, w2_spec],
+            out_specs=[row_spec, row_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((n1, n2), jnp.uint32),
+                jax.ShapeDtypeStruct((n1, n2), jnp.uint32),
+            ],
+            interpret=interp,
+            compiler_params=None if interp else params,
+        )(blo, bhi, w2[0], w2[1])
+
+        # natural order: y[k1 + n1*k2] = Y[k1, k2]
+        out_lo = ylo.T.reshape(n)
+        out_hi = yhi.T.reshape(n)
+        if inverse:
+            out_lo, out_hi = FJ.mul((out_lo, out_hi), (inv_n[0], inv_n[1]))
+        return out_lo, out_hi
+
+    return jax.jit(f)
+
+
+def forward_ntt(a: FJ.F2, n1_log2: int | None = None) -> FJ.F2:
+    n = int(a[0].shape[0])
+    n_log2 = n.bit_length() - 1
+    assert 1 << n_log2 == n
+    if n1_log2 is None:
+        n1_log2 = min(10, n_log2 // 2)
+    return _build(n1_log2, n_log2 - n1_log2, False)(a[0], a[1])
+
+
+def inverse_ntt(a: FJ.F2, n1_log2: int | None = None) -> FJ.F2:
+    n = int(a[0].shape[0])
+    n_log2 = n.bit_length() - 1
+    assert 1 << n_log2 == n
+    if n1_log2 is None:
+        n1_log2 = min(10, n_log2 // 2)
+    return _build(n1_log2, n_log2 - n1_log2, True)(a[0], a[1])
+
+
+def forward_ntt_u64(a: np.ndarray) -> np.ndarray:
+    return FJ.unpack(forward_ntt(FJ.pack(np.asarray(a, dtype=np.uint64))))
+
+
+def inverse_ntt_u64(a: np.ndarray) -> np.ndarray:
+    return FJ.unpack(inverse_ntt(FJ.pack(np.asarray(a, dtype=np.uint64))))
