@@ -221,3 +221,55 @@ def forward_ntt_u64(a: np.ndarray) -> np.ndarray:
 
 def inverse_ntt_u64(a: np.ndarray) -> np.ndarray:
     return FJ.unpack(inverse_ntt(FJ.pack(np.asarray(a, dtype=np.uint64))))
+
+
+# ---------------------- fused DEEP coset LDE (Pallas NTTs) ------------------
+
+
+@lru_cache(maxsize=8)
+def _deep_lde_glue(base_log2: int, lde_log2: int, shift: int):
+    """Coset scale + zero-pad + DEEP divide around the two Pallas NTTs."""
+    n_base = 1 << base_log2
+    lde_n = 1 << lde_log2
+    shift_pows = FJ.pack(ntt_host.powers(shift, n_base))
+    xs = FJ.pack(
+        G.mul(np.uint64(shift), ntt_host.powers(G.primitive_root_2exp(lde_log2), lde_n))
+    )
+
+    @jax.jit
+    def scale_pad(clo, chi):
+        s = FJ.mul((clo, chi), shift_pows)
+        return (
+            jnp.zeros(lde_n, jnp.uint32).at[:n_base].set(s[0]),
+            jnp.zeros(lde_n, jnp.uint32).at[:n_base].set(s[1]),
+        )
+
+    @jax.jit
+    def deep_divide(ylo, yhi, z_lo, z_hi):
+        from . import ntt_jax
+
+        denom = FJ.sub(
+            xs, (jnp.broadcast_to(z_lo, (lde_n,)), jnp.broadcast_to(z_hi, (lde_n,)))
+        )
+        return FJ.mul((ylo, yhi), ntt_jax._pow_p_minus_2(denom))
+
+    return scale_pad, deep_divide
+
+
+def deep_coset_lde_u64(
+    base_evals: np.ndarray, blow_log2: int, shift: int, z: int
+) -> np.ndarray:
+    """DEEP coset LDE with Pallas NTT phases; bit-identical to
+    ops/ntt_jax.deep_coset_lde_u64 (reference pipeline lde.rs:42-97)."""
+    n_base = len(base_evals)
+    base_log2 = n_base.bit_length() - 1
+    assert 1 << base_log2 == n_base
+    lde_log2 = base_log2 + blow_log2
+    b = FJ.pack(np.asarray(base_evals, dtype=np.uint64))
+    coeffs = inverse_ntt((jnp.asarray(b[0]), jnp.asarray(b[1])))
+    scale_pad, deep_divide = _deep_lde_glue(base_log2, lde_log2, shift)
+    padded = scale_pad(coeffs[0], coeffs[1])
+    y = forward_ntt(padded)
+    zp = FJ.pack(np.uint64(z))
+    out = deep_divide(y[0], y[1], zp[0], zp[1])
+    return FJ.unpack((np.asarray(out[0]), np.asarray(out[1])))

@@ -70,6 +70,12 @@ def _deep_lde(base_vals: np.ndarray, blow_log2: int, shift: int, z: int) -> np.n
     base_log2 = n.bit_length() - 1
     if base_log2 >= JAX_LDE_MIN_LOG2:
         try:
+            import jax
+
+            if jax.default_backend() == "tpu":
+                from ...ops import ntt_pallas
+
+                return ntt_pallas.deep_coset_lde_u64(base_vals, blow_log2, shift, z)
             from ...ops import ntt_jax
 
             return ntt_jax.deep_coset_lde_u64(base_vals, blow_log2, shift, z)
