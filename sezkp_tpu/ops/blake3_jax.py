@@ -111,19 +111,23 @@ def compress_batch(m, block_len: int, flags: int, out_words: int = 8):
     return jnp.concatenate([out, ext], axis=0).T
 
 
-def hash_leaves_u64(lo, hi, prefix: bytes = b""):
+def _prefix_words(prefix: bytes) -> np.ndarray:
+    pw = np.zeros(16 * 4, dtype=np.uint8)
+    pw[: len(prefix)] = np.frombuffer(prefix, dtype=np.uint8)
+    return pw.view("<u4").copy()  # [16]
+
+
+def hash_leaves_u64_words(lo, hi, pref_words, plen: int):
     """Hash N messages of (prefix || 8-byte LE value) -> uint32 [N, 8] CVs.
 
-    lo/hi: uint32 [N] field limbs. len(prefix) + 8 must be <= 64.
+    lo/hi: uint32 [N] field limbs; pref_words: uint32 [16] zero-padded prefix
+    (traced, so one compile serves every prefix of the same length);
+    plen: static prefix byte length, plen + 8 <= 64.
     """
-    plen = len(prefix)
     total = plen + 8
     assert total <= 64
     n = lo.shape[0]
-    pw = np.zeros(16 * 4, dtype=np.uint8)
-    pw[:plen] = np.frombuffer(prefix, dtype=np.uint8)
-    pref_words = pw.view("<u4")  # [16]
-    m = [jnp.broadcast_to(jnp.asarray(w, U32), (n,)) for w in pref_words]
+    m = [jnp.broadcast_to(pref_words[i], (n,)) for i in range(16)]
 
     # splice the value bytes at offset plen
     word0 = plen // 4
@@ -138,6 +142,13 @@ def hash_leaves_u64(lo, hi, prefix: bytes = b""):
         m[word0 + 2] = vals[1] >> (32 - sh)
     mm = jnp.stack(m, axis=1)
     return compress_batch(mm, total, int(CHUNK_START | CHUNK_END | ROOT))
+
+
+def hash_leaves_u64(lo, hi, prefix: bytes = b""):
+    """Convenience wrapper over hash_leaves_u64_words (prefix as bytes)."""
+    return hash_leaves_u64_words(
+        lo, hi, jnp.asarray(_prefix_words(prefix)), len(prefix)
+    )
 
 
 def parent_level(nodes):
@@ -158,8 +169,10 @@ def merkle_root_pow2(leaves):
 
 
 @lru_cache(maxsize=32)
-def _jit_leaf_hash(prefix: bytes, n: int):
-    return jax.jit(partial(hash_leaves_u64, prefix=prefix))
+def _jit_leaf_hash(plen: int):
+    # Keyed on prefix LENGTH only: the prefix words are a traced input, so
+    # e.g. all 59 column labels of one tau share a couple of compilations.
+    return jax.jit(partial(hash_leaves_u64_words, plen=plen))
 
 
 def hash_field_leaves_device(values_u64: np.ndarray, prefix: bytes = b"") -> np.ndarray:
@@ -167,7 +180,7 @@ def hash_field_leaves_device(values_u64: np.ndarray, prefix: bytes = b"") -> np.
     v = np.asarray(values_u64, dtype=np.uint64)
     lo = jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32))
     hi = jnp.asarray((v >> np.uint64(32)).astype(np.uint32))
-    cv = _jit_leaf_hash(prefix, v.shape[0])(lo, hi)
+    cv = _jit_leaf_hash(len(prefix))(lo, hi, jnp.asarray(_prefix_words(prefix)))
     out = np.ascontiguousarray(np.asarray(cv), dtype="<u4")
     return out.view(np.uint8).reshape(v.shape[0], 32)
 
@@ -208,3 +221,229 @@ def merkle_root_device(leaf_digests: np.ndarray) -> bytes:
     for r in reversed(roots[:-1]):
         acc = b3.hash_bytes(r.tobytes() + acc)
     return acc
+
+
+# ---------------------- device tree building (bulk paths) -------------------
+
+
+@lru_cache(maxsize=8)
+def _jit_tree_levels(n_log2: int):
+    """leaf CVs [2^k, 8] -> tuple of all levels above the leaves."""
+
+    def f(leaves):
+        levels = []
+        cur = leaves
+        while cur.shape[0] > 1:
+            cur = parent_level(cur)
+            levels.append(cur)
+        return tuple(levels)
+
+    return jax.jit(f)
+
+
+def _cv_to_bytes(cv: np.ndarray) -> np.ndarray:
+    out = np.ascontiguousarray(np.asarray(cv), dtype="<u4")
+    return out.view(np.uint8).reshape(out.shape[0], 32)
+
+
+def tree_levels_device(leaf_digests: np.ndarray):
+    """All Merkle levels for a power-of-two leaf count, built on device.
+
+    Returns [leaves, level1, ..., root] as uint8 [m, 32] arrays — the exact
+    format of stark.v1.merkle.MerkleTree.levels."""
+    n = leaf_digests.shape[0]
+    assert n & (n - 1) == 0 and n > 0
+    lv = np.ascontiguousarray(leaf_digests, dtype=np.uint8)
+    if n == 1:
+        return [lv]
+    words = jnp.asarray(lv.reshape(n, 8, 4).view("<u4").reshape(n, 8))
+    upper = _jit_tree_levels(n.bit_length() - 1)(words)
+    return [lv] + [_cv_to_bytes(u) for u in upper]
+
+
+@lru_cache(maxsize=8)
+def _jit_chunk_roots(n_chunks: int, chunk_log2: int):
+    def f(leaves):  # [n_chunks * chunk, 8]
+        cur = leaves
+        width = 1 << chunk_log2
+        while width > 1:
+            cur = parent_level(cur)
+            width >>= 1
+        return cur  # [n_chunks, 8]
+
+    return jax.jit(f)
+
+
+def chunk_roots_device(leaf_digests: np.ndarray, chunk_log2: int) -> np.ndarray:
+    """Per-chunk tree roots for FULL chunks, all reduced simultaneously on
+    device. leaf count must be a multiple of 2^chunk_log2. Returns [n_chunks, 32]."""
+    chunk = 1 << chunk_log2
+    n = leaf_digests.shape[0]
+    assert n % chunk == 0
+    lv = np.ascontiguousarray(leaf_digests, dtype=np.uint8)
+    words = jnp.asarray(lv.reshape(n, 8, 4).view("<u4").reshape(n, 8))
+    roots = _jit_chunk_roots(n // chunk, chunk_log2)(words)
+    return _cv_to_bytes(roots)
+
+
+# ------------- batched column commitment (one pull per prefix group) --------
+
+
+@lru_cache(maxsize=8)
+def _jit_tree_levels_flat(n_log2: int):
+    """leaf CVs [2^k, 8] -> single [2^k - 1, 8] concat of all upper levels."""
+
+    def f(leaves):
+        levels = []
+        cur = leaves
+        while cur.shape[0] > 1:
+            cur = parent_level(cur)
+            levels.append(cur)
+        return jnp.concatenate(levels, axis=0)
+
+    return jax.jit(f)
+
+
+def tree_levels_device_flat(leaf_digests: np.ndarray):
+    """Like tree_levels_device but with ONE device->host transfer (the axon
+    tunnel is latency-bound, so per-level pulls dominate otherwise)."""
+    n = leaf_digests.shape[0]
+    assert n & (n - 1) == 0 and n > 0
+    lv = np.ascontiguousarray(leaf_digests, dtype=np.uint8)
+    if n == 1:
+        return [lv]
+    words = jnp.asarray(lv.reshape(n, 8, 4).view("<u4").reshape(n, 8))
+    flat = _cv_to_bytes(_jit_tree_levels_flat(n.bit_length() - 1)(words))
+    levels = [lv]
+    pos = 0
+    m = n // 2
+    while m >= 1:
+        levels.append(flat[pos : pos + m])
+        pos += m
+        m //= 2
+    return levels
+
+
+@lru_cache(maxsize=8)
+def _jit_columns_commit(plen: int, n_cols: int, chunk_log2: int):
+    """values [C, n] (as lo/hi) + prefixes [C, 16] -> (leaves, chunk roots).
+
+    vmapped over columns so the graph size is independent of C (an unrolled
+    per-column loop makes the TPU compile take minutes)."""
+
+    def one_column(lo, hi, pref):
+        cv = hash_leaves_u64_words(lo, hi, pref, plen)
+        cur = cv
+        width = 1 << chunk_log2
+        while width > 1:
+            cur = parent_level(cur)
+            width >>= 1
+        return cv, cur
+
+    return jax.jit(jax.vmap(one_column))
+
+
+def columns_commit_device(
+    values_u64: np.ndarray, prefixes, chunk_log2: int, resident: bool = False
+):
+    """Hash + chunk-commit many columns in one device round-trip.
+
+    values_u64: [C, n] with n a multiple of 2^chunk_log2.
+    prefixes: list of C byte strings (all the SAME length).
+
+    resident=False: returns (leaves uint8 [C, n, 32], chunk_roots uint8
+    [C, n_chunks, 32]) — both pulled to host.
+    resident=True: the leaf CVs STAY on device (returned as jnp uint32
+    [C, n, 8]); only the chunk roots cross the host link.
+    """
+    v = np.asarray(values_u64, dtype=np.uint64)
+    c, n = v.shape
+    assert n % (1 << chunk_log2) == 0
+    plens = {len(p) for p in prefixes}
+    assert len(plens) == 1, "group columns by prefix length first"
+    plen = plens.pop()
+    lo = jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    hi = jnp.asarray((v >> np.uint64(32)).astype(np.uint32))
+    prefs = jnp.asarray(np.stack([_prefix_words(p) for p in prefixes]))
+    cvs, roots = _jit_columns_commit(plen, c, chunk_log2)(lo, hi, prefs)
+    n_chunks = n >> chunk_log2
+    if resident:
+        roots_np = jax.device_get(roots)
+        croots = (
+            np.ascontiguousarray(roots_np, dtype="<u4")
+            .view(np.uint8)
+            .reshape(c, n_chunks, 32)
+        )
+        return cvs, croots
+    cvs_np, roots_np = jax.device_get((cvs, roots))  # one transfer
+    leaves = (
+        np.ascontiguousarray(cvs_np, dtype="<u4").view(np.uint8).reshape(c, n, 32)
+    )
+    croots = (
+        np.ascontiguousarray(roots_np, dtype="<u4")
+        .view(np.uint8)
+        .reshape(c, n_chunks, 32)
+    )
+    return leaves, croots
+
+
+# -------------- device path extraction (openings without leaf pulls) --------
+
+
+@lru_cache(maxsize=8)
+def _jit_chunk_paths(chunk_log2: int, bucket: int):
+    """leaves [K, chunk, 8] + idx [K] -> (paths [K, chunk_log2, 8], root [K, 8]).
+
+    Builds each chunk's tree level-by-level (vmapped) and gathers the sibling
+    node along the way — only the paths travel back to the host."""
+
+    def f(leaves, idx):
+        cur = leaves  # [K, m, 8]
+        cur_idx = idx
+        paths = []
+        m = 1 << chunk_log2
+        while m > 1:
+            sib = (cur_idx ^ 1).astype(jnp.int32)
+            paths.append(
+                jnp.take_along_axis(cur, sib[:, None, None], axis=1)[:, 0, :]
+            )
+            cur = jax.vmap(parent_level)(cur)
+            cur_idx = cur_idx >> 1
+            m >>= 1
+        return jnp.stack(paths, axis=1), cur[:, 0, :]
+
+    return jax.jit(f)
+
+
+def chunk_paths_device(leaves_dev, chunk_starts, idx_in_chunk, chunk_log2: int):
+    """Extract inner-chunk Merkle paths for K (chunk, index) requests.
+
+    leaves_dev: jnp uint32 [n, 8] leaf CVs (resident on device).
+    chunk_starts: np int array [K] (row offsets of each chunk).
+    idx_in_chunk: np int array [K].
+    Returns (paths uint8 [K, chunk_log2, 32], roots uint8 [K, 32]).
+    """
+    chunk = 1 << chunk_log2
+    k = len(chunk_starts)
+    bucket = max(64, 1 << (k - 1).bit_length()) if k else 64
+    starts = np.zeros(bucket, dtype=np.int32)
+    starts[:k] = np.asarray(chunk_starts, dtype=np.int32)
+    idxs = np.zeros(bucket, dtype=np.uint32)
+    idxs[:k] = np.asarray(idx_in_chunk, dtype=np.uint32)
+
+    # Gather the K chunks' leaves on device: [bucket, chunk, 8]
+    offs = jnp.asarray(starts)[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    sel = leaves_dev[offs.reshape(-1)].reshape(bucket, chunk, 8)
+    paths, roots = _jit_chunk_paths(chunk_log2, bucket)(sel, jnp.asarray(idxs))
+    paths_np, roots_np = jax.device_get((paths, roots))
+    paths8 = (
+        np.ascontiguousarray(paths_np, dtype="<u4")
+        .view(np.uint8)
+        .reshape(bucket, chunk_log2, 32)[:k]
+    )
+    roots8 = (
+        np.ascontiguousarray(roots_np, dtype="<u4").view(np.uint8).reshape(bucket, 32)[:k]
+    )
+    return paths8, roots8
+
+

@@ -18,10 +18,31 @@ import numpy as np
 from ...crypto import blake3
 from . import params
 
+# Above this leaf count, bulk hashing/tree building runs on the TPU via
+# ops/blake3_jax (bit-identical; cross-tested in tests/test_blake3_jax.py).
+DEVICE_HASH_MIN = 1 << 13
+
+
+def _device_ready(n: int) -> bool:
+    if n < DEVICE_HASH_MIN:
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
 
 def hash_field_leaves(le_elems: np.ndarray) -> np.ndarray:
     """BLAKE3(value_le8) per element. le_elems: uint8 [n, 8] -> [n, 32]."""
-    return blake3.hash_many(np.ascontiguousarray(le_elems, dtype=np.uint8))
+    le = np.ascontiguousarray(le_elems, dtype=np.uint8)
+    if _device_ready(le.shape[0]):
+        from ...ops import blake3_jax
+
+        vals = le.reshape(-1, 8).view("<u8").reshape(-1)
+        return blake3_jax.hash_field_leaves_device(vals)
+    return blake3.hash_many(le)
 
 
 def hash_field_leaves_labeled(le_elems: np.ndarray, col_label: str) -> np.ndarray:
@@ -33,6 +54,11 @@ def hash_field_leaves_labeled(le_elems: np.ndarray, col_label: str) -> np.ndarra
         + struct.pack("<I", len(col_label))
         + col_label.encode()
     )
+    if _device_ready(n):
+        from ...ops import blake3_jax
+
+        vals = le.reshape(-1, 8).view("<u8").reshape(-1)
+        return blake3_jax.hash_field_leaves_device(vals, prefix)
     pre = np.frombuffer(prefix, dtype=np.uint8)
     msgs = np.empty((n, len(prefix) + 8), dtype=np.uint8)
     msgs[:, : len(prefix)] = pre[None, :]
@@ -51,8 +77,13 @@ class MerkleTree:
     @staticmethod
     def from_leaves(leaves: np.ndarray) -> "MerkleTree":
         lv = np.ascontiguousarray(leaves, dtype=np.uint8)
-        if lv.shape[0] == 0:
+        n = lv.shape[0]
+        if n == 0:
             lv = np.zeros((1, 32), dtype=np.uint8)
+            n = 1
+        # Parent levels build on host (C++ batch hashing): a device tree build
+        # needs one XLA compilation per distinct size, and cold-compile time
+        # through the TPU tunnel dwarfs the ~0.5s/2^18-leaves host cost.
         levels = [lv]
         cur = lv
         while cur.shape[0] > 1:
@@ -106,12 +137,19 @@ def chunk_roots_batch(leaves: np.ndarray, chunk_log2: int) -> np.ndarray:
     rem = n - n_full * chunk
     out: List[np.ndarray] = []
     if n_full:
-        cur = leaves[: n_full * chunk].reshape(n_full * chunk, 32)
-        width = chunk
-        while width > 1:
-            cur = blake3.parent_many(cur.reshape(cur.shape[0] // 2, 64))
-            width >>= 1
-        out.append(cur.reshape(n_full, 32))
+        if _device_ready(n_full * chunk):
+            from ...ops import blake3_jax
+
+            out.append(
+                blake3_jax.chunk_roots_device(leaves[: n_full * chunk], chunk_log2)
+            )
+        else:
+            cur = leaves[: n_full * chunk].reshape(n_full * chunk, 32)
+            width = chunk
+            while width > 1:
+                cur = blake3.parent_many(cur.reshape(cur.shape[0] // 2, 64))
+                width >>= 1
+            out.append(cur.reshape(n_full, 32))
     if rem:
         out.append(
             np.frombuffer(

@@ -20,12 +20,29 @@ from .merkle import ColumnCommit, MerkleTree, hash_field_leaves_labeled
 from .proof import ColumnRoot, Opening
 
 
+def _label_prefix(lb: str) -> bytes:
+    import struct
+
+    return params.DS_COL_LEAF.encode() + struct.pack("<I", len(lb)) + lb.encode()
+
+
 class ColumnEngine:
+    """In-memory engine. On TPU, commitments run device-resident: leaf CVs
+    stay in HBM, only chunk roots (KBs) and opening paths (KBs) cross the
+    host link (the reference recomputes per-row on the CPU instead,
+    openings.rs:278-498; same roots/paths, radically different schedule)."""
+
     def __init__(self, tc: TraceColumns, chunk_log2: int = params.COL_CHUNK_LOG2):
         self.tc = tc
         self.chunk_log2 = chunk_log2
         self.labels = all_labels(tc.tau)
         self._commits: Dict[str, ColumnCommit] = {}
+        # device mode state
+        self._dev = False
+        self._dev_cvs = None  # jnp [C, n, 8] leaf CVs (device-resident)
+        self._dev_label_idx: Dict[str, int] = {}
+        self._croots: Dict[str, np.ndarray] = {}
+        self._outer: Dict[str, MerkleTree] = {}
 
     @property
     def n_rows(self) -> int:
@@ -42,9 +59,47 @@ class ColumnEngine:
 
     def build_roots(self) -> List[ColumnRoot]:
         """Outer roots for every column in canonical label order."""
+        from .merkle import _device_ready
+
+        if (
+            not self._dev
+            and not self._commits
+            and _device_ready(self.tc.n)
+            and self.tc.n % (1 << self.chunk_log2) == 0
+        ):
+            self._build_device()
+        if self._dev:
+            return [ColumnRoot(lb, self._outer[lb].root()) for lb in self.labels]
         return [ColumnRoot(lb, self._commit(lb).root()) for lb in self.labels]
 
+    def _build_device(self) -> None:
+        import jax.numpy as jnp
+
+        from ...ops import blake3_jax
+
+        groups: Dict[int, List[str]] = {}
+        for lb in self.labels:
+            groups.setdefault(len(_label_prefix(lb)), []).append(lb)
+        cv_parts = []
+        order: List[str] = []
+        for _plen, lbs in groups.items():
+            vals = np.stack([self.tc.column_by_label(lb) for lb in lbs])
+            cvs, croots = blake3_jax.columns_commit_device(
+                vals, [_label_prefix(lb) for lb in lbs], self.chunk_log2,
+                resident=True,
+            )
+            cv_parts.append(cvs)
+            for i, lb in enumerate(lbs):
+                order.append(lb)
+                self._croots[lb] = croots[i]
+                self._outer[lb] = MerkleTree.from_leaves(croots[i])
+        self._dev_cvs = jnp.concatenate(cv_parts, axis=0)
+        self._dev_label_idx = {lb: i for i, lb in enumerate(order)}
+        self._dev = True
+
     def open(self, label: str, row_idx: int) -> Opening:
+        if self._dev:
+            return self.open_batch([(label, row_idx)])[0]
         cc = self._commit(label)
         ci, ii, chunk_root, path_in, path_out = cc.open(row_idx)
         value_le = G.to_le_bytes(self.tc.column_by_label(label)[row_idx]).tobytes()
@@ -57,6 +112,46 @@ class ColumnEngine:
             path_in_chunk=path_in,
             path_to_chunk=path_out,
         )
+
+    def open_batch(self, requests) -> List[Opening]:
+        """Answer many (label, row) openings; on TPU the inner-chunk paths for
+        ALL requests are extracted in one device call."""
+        if not self._dev:
+            return [self.open(lb, r) for lb, r in requests]
+
+        from ...ops import blake3_jax
+
+        n = self.tc.n
+        chunk = 1 << self.chunk_log2
+        k = len(requests)
+        starts = np.empty(k, dtype=np.int64)
+        idxs = np.empty(k, dtype=np.int64)
+        for i, (lb, row) in enumerate(requests):
+            ci = row // chunk
+            starts[i] = self._dev_label_idx[lb] * n + ci * chunk
+            idxs[i] = row - ci * chunk
+        flat = self._dev_cvs.reshape(-1, 8)
+        paths, _roots = blake3_jax.chunk_paths_device(
+            flat, starts, idxs, self.chunk_log2
+        )
+        out: List[Opening] = []
+        for i, (lb, row) in enumerate(requests):
+            ci = row // chunk
+            ii = row - ci * chunk
+            out.append(
+                Opening(
+                    value_le=G.to_le_bytes(
+                        self.tc.column_by_label(lb)[row]
+                    ).tobytes(),
+                    index=row,
+                    chunk_index=ci,
+                    index_in_chunk=ii,
+                    chunk_root=self._croots[lb][ci].tobytes(),
+                    path_in_chunk=[paths[i, l].tobytes() for l in range(self.chunk_log2)],
+                    path_to_chunk=self._outer[lb].open(ci),
+                )
+            )
+        return out
 
 
 class StreamingColumnEngine:
@@ -100,6 +195,9 @@ class StreamingColumnEngine:
             self._outer[label] = outer
             out.append(ColumnRoot(label, outer.root()))
         return out
+
+    def open_batch(self, requests) -> List[Opening]:
+        return [self.open(lb, r) for lb, r in requests]
 
     def open(self, label: str, row_idx: int) -> Opening:
         assert row_idx < self.n_rows, "row index out of range"

@@ -144,33 +144,38 @@ def prove_v1(
     trees = [layer_tree(layer) for layer in layers]
     fri_final_value_le = G.to_le_bytes(layers[-1][0]).tobytes()
 
-    # ---- AIR query openings ----
+    # ---- AIR query openings (batched: one device round-trip for all paths) --
     rows = params.derive_queries(tr, n, params.NUM_QUERIES)
-    queries: List[RowOpenings] = []
+    requests = []
     for row in rows:
         ip1 = _next_wrap(row, n)
-        per_tape = []
         for r in range(tc.tau):
-            per_tape.append(
-                PerTapeOpen(
-                    mv=engine.open(f"mv_{r}", row),
-                    next_mv=engine.open(f"mv_{r}", ip1),
-                    write_flag=engine.open(f"wflag_{r}", row),
-                    write_sym=engine.open(f"wsym_{r}", row),
-                    head=engine.open(f"head_{r}", row),
-                    next_head=engine.open(f"head_{r}", ip1),
-                    win_len=engine.open(f"winlen_{r}", row),
-                    in_off=engine.open(f"in_off_{r}", row),
-                    out_off=engine.open(f"out_off_{r}", row),
-                )
+            requests += [
+                (f"mv_{r}", row), (f"mv_{r}", ip1),
+                (f"wflag_{r}", row), (f"wsym_{r}", row),
+                (f"head_{r}", row), (f"head_{r}", ip1),
+                (f"winlen_{r}", row), (f"in_off_{r}", row), (f"out_off_{r}", row),
+            ]
+        requests += [("is_first", row), ("is_last", row), ("input_mv", row)]
+    opened = iter(engine.open_batch(requests))
+
+    queries: List[RowOpenings] = []
+    for row in rows:
+        per_tape = [
+            PerTapeOpen(
+                mv=next(opened), next_mv=next(opened), write_flag=next(opened),
+                write_sym=next(opened), head=next(opened), next_head=next(opened),
+                win_len=next(opened), in_off=next(opened), out_off=next(opened),
             )
+            for _ in range(tc.tau)
+        ]
         queries.append(
             RowOpenings(
                 row=row,
                 per_tape=per_tape,
-                is_first=engine.open("is_first", row),
-                is_last=engine.open("is_last", row),
-                input_mv=engine.open("input_mv", row),
+                is_first=next(opened),
+                is_last=next(opened),
+                input_mv=next(opened),
             )
         )
 

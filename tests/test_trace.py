@@ -80,3 +80,11 @@ def test_trace_cbor_roundtrip_byte_exact():
     raw = open(path, "rb").read()
     tf = TraceFile.from_obj(cbor.loads(raw))
     assert cbor.dumps(tf.to_obj()) == raw
+
+
+def test_native_generator_matches_python():
+    from sezkp_tpu.trace.generator import generate_trace_python
+
+    a = generate_trace(512, 3)
+    b = generate_trace_python(512, 3)
+    assert a.steps == b.steps
