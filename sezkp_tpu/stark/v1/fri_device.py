@@ -1,0 +1,315 @@
+"""Device-resident FRI: folds, layer hashing, and tree building on TPU.
+
+All FRI layers (values + full Merkle tree levels) are computed in two jitted
+device programs and stay resident in HBM as flat node arrays; only the layer
+roots (a few hundred bytes) and, later, the queried values/paths (tens of KB)
+cross the host link. Outputs are bit-identical to the host implementation in
+fri.py (cross-tested).
+
+Two phases are forced by the Fiat-Shamir schedule: betas depend on the
+layer-0 root (fri.rs:51-68), so phase 1 commits layer 0 and phase 2 takes the
+derived betas and produces everything else.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, Tuple
+
+import numpy as np
+
+from ...ops import goldilocks as G
+from .proof import FriQuery
+
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+@lru_cache(maxsize=4)
+def _jit_phase1(n_log2: int):
+    import jax
+
+    from ...ops import blake3_jax as BJ
+
+    def f(lo, hi):
+        cv = BJ.hash_leaves_u64(lo, hi)
+        levels = [cv]
+        cur = cv
+        while cur.shape[0] > 1:
+            cur = BJ.parent_level(cur)
+            levels.append(cur)
+        return _jnp().concatenate(levels, axis=0)  # [2n-1, 8]
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=4)
+def _jit_phase2(n_log2: int):
+    import jax
+
+    from ...ops import blake3_jax as BJ
+    from ...ops import goldilocks_jax as FJ
+
+    n = 1 << n_log2
+
+    def f(lo, hi, betas_lo, betas_hi):
+        jnp = _jnp()
+        vals_flat = []
+        nodes_flat = []
+        roots = []
+        cur = (lo, hi)
+        for l in range(n_log2):
+            half = (n >> l) // 2
+            beta = (betas_lo[l], betas_hi[l])
+            folded = FJ.add(
+                (cur[0][:half], cur[1][:half]),
+                FJ.mul(
+                    (jnp.broadcast_to(beta[0], (half,)), jnp.broadcast_to(beta[1], (half,))),
+                    (cur[0][half:], cur[1][half:]),
+                ),
+            )
+            cur = folded
+            vals_flat.append(folded[0])
+            vals_flat.append(folded[1])
+            cv = BJ.hash_leaves_u64(folded[0], folded[1])
+            node_levels = [cv]
+            while node_levels[-1].shape[0] > 1:
+                node_levels.append(BJ.parent_level(node_levels[-1]))
+            nodes_flat += node_levels
+            roots.append(node_levels[-1][0])
+        return (
+            jnp.concatenate(vals_flat[0::2]),
+            jnp.concatenate(vals_flat[1::2]),
+            jnp.concatenate(nodes_flat, axis=0),
+            jnp.stack(roots),
+        )
+
+    return jax.jit(f)
+
+
+def _cv_bytes(cv_rows: np.ndarray) -> np.ndarray:
+    out = np.ascontiguousarray(cv_rows, dtype="<u4")
+    return out.view(np.uint8).reshape(out.shape[0], 32)
+
+
+class DeviceFri:
+    """FRI engine with device-resident layers.
+
+    Usage (mirrors the transcript schedule):
+        fri = DeviceFri(lde_vals)
+        root0 = fri.commit_layer0()          # absorb, then derive betas
+        roots = fri.commit_rest(betas)       # absorb each
+        q = fri.open_queries(fri_rows)       # after query derivation
+    """
+
+    def __init__(self, lde_vals_u64: np.ndarray):
+        import jax.numpy as jnp
+
+        from ...ops import goldilocks_jax as FJ
+
+        self.n = int(lde_vals_u64.shape[0])
+        self.n_log2 = self.n.bit_length() - 1
+        assert 1 << self.n_log2 == self.n
+        self._vals0_host = np.asarray(lde_vals_u64, dtype=np.uint64)
+        p = FJ.pack(self._vals0_host)
+        self._lde = (jnp.asarray(p[0]), jnp.asarray(p[1]))
+        self._nodes0 = None  # [2n-1, 8] layer-0 tree (leaf CVs first)
+        self._vals_lo = None  # folded layer values (layers 1..) flat
+        self._vals_hi = None
+        self._nodes_rest = None
+        self._roots: List[bytes] = []
+        self._final_value: int | None = None
+
+        # host-side offset tables
+        self._level_sizes0 = self._tree_level_sizes(self.n)
+        self._rest_layout = []  # per layer >=1: (val_off, node_offsets/list sizes)
+
+    @staticmethod
+    def _tree_level_sizes(m: int) -> List[int]:
+        out = []
+        while m >= 1:
+            out.append(m)
+            if m == 1:
+                break
+            m //= 2
+        return out
+
+    def commit_layer0(self) -> bytes:
+        self._nodes0 = _jit_phase1(self.n_log2)(self._lde[0], self._lde[1])
+        import jax
+
+        root = jax.device_get(self._nodes0[-1])
+        return _cv_bytes(root.reshape(1, 8))[0].tobytes()
+
+    def commit_rest(self, betas: List[int]) -> List[bytes]:
+        import jax
+        import jax.numpy as jnp
+
+        from ...ops import goldilocks_jax as FJ
+
+        bl = np.array([b & 0xFFFFFFFF for b in betas], dtype=np.uint32)
+        bh = np.array([b >> 32 for b in betas], dtype=np.uint32)
+        vl, vh, nodes, roots = _jit_phase2(self.n_log2)(
+            self._lde[0], self._lde[1], jnp.asarray(bl), jnp.asarray(bh)
+        )
+        self._vals_lo, self._vals_hi, self._nodes_rest = vl, vh, nodes
+
+        # offsets
+        val_off = 0
+        node_off = 0
+        self._rest_layout = []
+        for l in range(1, self.n_log2 + 1):
+            m = self.n >> l
+            sizes = self._tree_level_sizes(m)
+            self._rest_layout.append((val_off, node_off, sizes))
+            val_off += m
+            node_off += sum(sizes)
+
+        roots_np = _cv_bytes(jax.device_get(roots))
+        self._roots = [r.tobytes() for r in roots_np]
+        # final value = single element of the last layer
+        last_off = self._rest_layout[-1][0]
+        import jax as _jax
+
+        fv = _jax.device_get((vl[last_off], vh[last_off]))
+        self._final_value = int(fv[0]) | (int(fv[1]) << 32)
+        return list(self._roots)
+
+    def final_value_le(self) -> bytes:
+        return int(self._final_value).to_bytes(8, "little")
+
+    # ------------------------------ openings --------------------------------
+
+    def _node_flat_index(self, layer: int, level: int, pos: int) -> Tuple[int, int]:
+        """Returns (which_buffer, flat_index): 0 = layer-0 nodes, 1 = rest."""
+        if layer == 0:
+            off = sum(self._level_sizes0[:level])
+            return 0, off + pos
+        voff, noff, sizes = self._rest_layout[layer - 1]
+        return 1, noff + sum(sizes[:level]) + pos
+
+    def _value_u64(self, layer: int, idx: int, gathered_vals) -> int:
+        if layer == 0:
+            return int(self._vals0_host[idx])
+        return gathered_vals[(layer, idx)]
+
+    def open_queries(self, fri_rows: List[int]) -> List[FriQuery]:
+        """Assemble FriQuery objects for all query indices.
+
+        One planning pass records every node/value gather with its sequence
+        number; two device gathers fetch everything; assembly substitutes the
+        gathered rows. Bit-identical to fri.fri_open_query."""
+        import jax
+        import jax.numpy as jnp
+
+        n_layers = self.n_log2 + 1
+        node_reqs0: List[int] = []
+        node_reqs1: List[int] = []
+        val_reqs: List[Tuple[int, int]] = []
+        val_seq = {}
+
+        def plan_value(layer: int, idx: int):
+            if layer == 0:
+                return ("host", idx)
+            key = (layer, idx)
+            if key not in val_seq:
+                val_seq[key] = len(val_reqs)
+                val_reqs.append(key)
+            return ("val", val_seq[key])
+
+        def plan_path(layer: int, layer_len: int, target: int):
+            refs = []
+            m = layer_len
+            t = target
+            lev = 0
+            while m > 1:
+                sib = t ^ 1 if (t ^ 1) < m else t
+                buf, flat = self._node_flat_index(layer, lev, sib)
+                if buf == 0:
+                    refs.append((0, len(node_reqs0)))
+                    node_reqs0.append(flat)
+                else:
+                    refs.append((1, len(node_reqs1)))
+                    node_reqs1.append(flat)
+                t >>= 1
+                m //= 2
+                lev += 1
+            return refs
+
+        plans = []
+        for idx0 in fri_rows:
+            positions = []
+            layer_plan = []
+            idx = idx0
+            layer_len = self.n
+            for l in range(n_layers - 1):
+                positions.append(idx)
+                half = layer_len // 2
+                j = idx ^ half
+                layer_plan.append(
+                    (
+                        plan_value(l, idx),
+                        plan_path(l, layer_len, idx),
+                        plan_value(l, j),
+                        plan_path(l, layer_len, j),
+                    )
+                )
+                idx = idx % half
+                layer_len = half
+            positions.append(idx)
+            plans.append((positions, layer_plan))
+
+        g0 = (
+            _cv_bytes(
+                jax.device_get(
+                    self._nodes0[jnp.asarray(np.array(node_reqs0, dtype=np.int32))]
+                )
+            )
+            if node_reqs0
+            else np.zeros((0, 32), np.uint8)
+        )
+        g1 = (
+            _cv_bytes(
+                jax.device_get(
+                    self._nodes_rest[jnp.asarray(np.array(node_reqs1, dtype=np.int32))]
+                )
+            )
+            if node_reqs1
+            else np.zeros((0, 32), np.uint8)
+        )
+        if val_reqs:
+            vidx = np.array(
+                [self._rest_layout[l - 1][0] + i for l, i in val_reqs], dtype=np.int32
+            )
+            vlo, vhi = jax.device_get(
+                (self._vals_lo[jnp.asarray(vidx)], self._vals_hi[jnp.asarray(vidx)])
+            )
+        else:
+            vlo = vhi = np.zeros(0, np.uint32)
+
+        def value_bytes(ref) -> bytes:
+            kind, x = ref
+            if kind == "host":
+                return int(self._vals0_host[x]).to_bytes(8, "little")
+            return (int(vlo[x]) | (int(vhi[x]) << 32)).to_bytes(8, "little")
+
+        def path_bytes(refs) -> List[bytes]:
+            return [
+                (g0[i] if buf == 0 else g1[i]).tobytes() for buf, i in refs
+            ]
+
+        queries = []
+        for positions, layer_plan in plans:
+            pairs = [
+                (value_bytes(vi), path_bytes(pi), value_bytes(vj), path_bytes(pj))
+                for vi, pi, vj, pj in layer_plan
+            ]
+            queries.append(FriQuery(positions=positions, pairs=pairs))
+        return queries
+
+    @staticmethod
+    def _level_of(layer_len: int, m: int) -> int:
+        return layer_len.bit_length() - m.bit_length()

@@ -46,6 +46,17 @@ from .proof import FriQuery, PerTapeOpen, ProofV1, RowOpenings
 JAX_LDE_MIN_LOG2 = 15
 
 
+def _use_device_fri(lde_n: int) -> bool:
+    if lde_n < (1 << 14):
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _next_wrap(idx: int, n: int) -> int:
     if n == 0:
         return 0
@@ -140,9 +151,23 @@ def prove_v1(
     lde_vals = _deep_lde(base_vals, blow_log2, shift, z)
 
     # ---- FRI commit: bind root0, betas, fold + bind roots ----
-    roots, layers, betas = fri_commit(tr, lde_vals)
-    trees = [layer_tree(layer) for layer in layers]
-    fri_final_value_le = G.to_le_bytes(layers[-1][0]).tobytes()
+    fri_eng = None
+    if _use_device_fri(lde_n):
+        from .fri_device import DeviceFri
+
+        fri_eng = DeviceFri(lde_vals)
+        root0 = fri_eng.commit_layer0()
+        tr.absorb(params.DS_FRI_LAYER_ROOT, root0)
+        betas = params.derive_betas_for_fri(tr, lde_k_log2)
+        rest = fri_eng.commit_rest(betas)
+        for r in rest:
+            tr.absorb(params.DS_FRI_LAYER_ROOT, r)
+        roots = [root0] + rest
+        fri_final_value_le = fri_eng.final_value_le()
+    else:
+        roots, layers, betas = fri_commit(tr, lde_vals)
+        trees = [layer_tree(layer) for layer in layers]
+        fri_final_value_le = G.to_le_bytes(layers[-1][0]).tobytes()
 
     # ---- AIR query openings (batched: one device round-trip for all paths) --
     rows = params.derive_queries(tr, n, params.NUM_QUERIES)
@@ -181,9 +206,10 @@ def prove_v1(
 
     # ---- FRI queries ----
     fri_rows = params.derive_queries(tr, lde_n, params.NUM_QUERIES)
-    fri_queries: List[FriQuery] = [
-        fri_open_query(layers, trees, idx0) for idx0 in fri_rows
-    ]
+    if fri_eng is not None:
+        fri_queries: List[FriQuery] = fri_eng.open_queries(fri_rows)
+    else:
+        fri_queries = [fri_open_query(layers, trees, idx0) for idx0 in fri_rows]
 
     return ProofV1(
         domain_n=lde_n,
