@@ -120,3 +120,32 @@ def write_proof_auto(path: str, art: ProofArtifact) -> None:
     else:
         with open(path, "w") as f:
             json.dump(art.to_obj(), f, indent=2)
+
+
+# ------------------------- tiny versioned wrapper ---------------------------
+
+
+class Versioned:
+    """Version-tagged payload wrapper (reference: core/io.rs Versioned<T>)."""
+
+    __slots__ = ("ver", "payload")
+
+    def __init__(self, ver: int, payload):
+        self.ver = ver
+        self.payload = payload
+
+    def to_obj(self):
+        return {"ver": self.ver, "payload": self.payload}
+
+    @staticmethod
+    def from_obj(o) -> "Versioned":
+        return Versioned(o["ver"], o["payload"])
+
+
+def to_cbor(value) -> bytes:
+    """Serialize a plain object tree to CBOR (reference: core/io.rs to_cbor)."""
+    return cbor.dumps(value)
+
+
+def from_cbor(data: bytes):
+    return cbor.loads(data)

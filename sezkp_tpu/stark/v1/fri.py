@@ -177,3 +177,59 @@ def fri_verify(
 
             idx = expected_next
             layer_len = half
+
+
+def merkle_path_from_chunks(layer_len: int, chunker, idx: int):
+    """Compute a layer-0 Merkle path by re-driving a chunked leaf producer,
+    never materializing the layer (reference: fri_stream.rs
+    merkle_path_from_le_chunker:260-312, which re-drives the stream once per
+    tree level; here one drive hashes leaves in batches and a per-level
+    frontier walk extracts the path in a single pass).
+
+    `chunker(consume)` must call `consume(vals_u64_chunk)` repeatedly with
+    consecutive u64 value chunks totalling `layer_len` (power of two).
+    Returns (value_le8, sibling_hashes_bottom_to_top).
+    """
+    assert layer_len > 0 and layer_len & (layer_len - 1) == 0
+    from ...crypto import blake3 as b3
+
+    n_levels = layer_len.bit_length() - 1
+    # Frontier with sibling capture: track pending node per level; when the
+    # path node at a level is formed, record its sibling.
+    pending = [None] * (n_levels + 1)  # (pos, hash)
+    path = [None] * n_levels
+    value_le = [None]
+    pos_counter = [0]
+
+    def push(level: int, pos: int, h: bytes):
+        if pending[level] is None:
+            pending[level] = (pos, h)
+            return
+        lpos, lh = pending[level]
+        pending[level] = None
+        # record sibling if this pair contains the path node at this level
+        if level < n_levels:
+            wp = idx >> level
+            if lpos == wp:
+                path[level] = h
+            elif pos == wp:
+                path[level] = lh
+        push(level + 1, pos >> 1, b3.hash_bytes(lh + h))
+
+    def consume(vals):
+        import numpy as np
+
+        from ...ops import goldilocks as G
+
+        hashes = hash_field_leaves(G.to_le_bytes(np.asarray(vals, dtype=np.uint64)))
+        base = pos_counter[0]
+        for i in range(hashes.shape[0]):
+            p = base + i
+            if p == idx:
+                value_le[0] = G.to_le_bytes(np.uint64(vals[i])).tobytes()
+            push(0, p, hashes[i].tobytes())
+        pos_counter[0] += hashes.shape[0]
+
+    chunker(consume)
+    assert pos_counter[0] == layer_len, "chunker produced wrong leaf count"
+    return value_le[0], [p for p in path]
