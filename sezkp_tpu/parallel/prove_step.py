@@ -54,7 +54,7 @@ def build_prove_step(mesh: Mesh, base_log2: int, blow_log2: int = 3):
 
     t_inv1 = ntt_jax._tables_packed(b1, True)
     t_inv2 = ntt_jax._tables_packed(b2, True)
-    t_f1 = ntt_jax._tables_packed(l1, True is False)
+    t_f1 = ntt_jax._tables_packed(l1, False)
     t_f2 = ntt_jax._tables_packed(l2, False)
     w_inv = FJ.pack(ntt_host.powers(G.inv(G.primitive_root_2exp(base_log2)), n))
     w_fwd = FJ.pack(ntt_host.powers(G.primitive_root_2exp(lde_log2), lde_n))
