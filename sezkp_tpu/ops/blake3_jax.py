@@ -447,3 +447,24 @@ def chunk_paths_device(leaves_dev, chunk_starts, idx_in_chunk, chunk_log2: int):
     return paths8, roots8
 
 
+
+
+def columns_commit_from_planes(lo, hi, prefixes, chunk_log2: int):
+    """columns_commit_device for DEVICE-RESIDENT [C, n] u32 planes.
+
+    Returns (leaf CVs jnp [C, n, 8] resident, chunk_roots uint8 [C, nc, 32])."""
+    c, n = lo.shape
+    assert n % (1 << chunk_log2) == 0
+    plens = {len(p) for p in prefixes}
+    assert len(plens) == 1
+    plen = plens.pop()
+    prefs = jnp.asarray(np.stack([_prefix_words(p) for p in prefixes]))
+    cvs, roots = _jit_columns_commit(plen, c, chunk_log2)(lo, hi, prefs)
+    roots_np = jax.device_get(roots)
+    n_chunks = n >> chunk_log2
+    croots = (
+        np.ascontiguousarray(roots_np, dtype="<u4")
+        .view(np.uint8)
+        .reshape(c, n_chunks, 32)
+    )
+    return cvs, croots

@@ -273,3 +273,19 @@ def deep_coset_lde_u64(
     zp = FJ.pack(np.uint64(z))
     out = deep_divide(y[0], y[1], zp[0], zp[1])
     return FJ.unpack((np.asarray(out[0]), np.asarray(out[1])))
+
+
+def deep_coset_lde_planes(base_planes, blow_log2: int, shift: int, z: int):
+    """DEEP coset LDE on device-resident (lo, hi) planes; returns device
+    planes (no host round-trip). Bit-identical to deep_coset_lde_u64."""
+    lo, hi = base_planes
+    n_base = int(lo.shape[0])
+    base_log2 = n_base.bit_length() - 1
+    assert 1 << base_log2 == n_base
+    lde_log2 = base_log2 + blow_log2
+    coeffs = inverse_ntt((lo, hi))
+    scale_pad, deep_divide = _deep_lde_glue(base_log2, lde_log2, shift)
+    padded = scale_pad(coeffs[0], coeffs[1])
+    y = forward_ntt(padded)
+    zp = FJ.pack(np.uint64(z))
+    return deep_divide(y[0], y[1], zp[0], zp[1])

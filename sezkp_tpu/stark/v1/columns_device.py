@@ -1,0 +1,316 @@
+"""Device-side column derivation + AIR composition.
+
+Pushes only the raw movement logs (~(2+2*tau) bytes/row) and per-block
+constants to the TPU and derives every committed column there (heads are
+per-block cumsums, offsets are gathered block constants), then evaluates the
+full AIR composition vectorized — eliminating the 8*n*n_cols bytes of
+host->device column traffic. Bit-identical to columns.TraceColumns.build +
+air.compose_all_rows (cross-tested).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ...ops import goldilocks as G
+from .air import Alphas
+from .columns import HEAD_BITS, SYM_BITS, TraceColumns, all_labels
+
+
+def _host_inputs(blocks) -> dict:
+    """Pack movement logs + block structure into small host arrays."""
+    n = sum(b.n_steps for b in blocks)
+    tau = blocks[0].tau if blocks else 0
+    nb = len(blocks)
+    input_mv = np.concatenate([b.movement_log.input_mv for b in blocks])
+    tape_mv = np.concatenate([b.movement_log.tape_mv for b in blocks])  # [n, tau]
+    wflag = np.concatenate([b.movement_log.write_flag for b in blocks])
+    wsym = np.concatenate([b.movement_log.write_sym for b in blocks])
+
+    block_of = np.empty(n, dtype=np.int32)
+    is_first = np.zeros(n, dtype=np.uint8)
+    is_last = np.zeros(n, dtype=np.uint8)
+    block_start = np.empty(nb, dtype=np.int32)
+    row = 0
+    for i, b in enumerate(blocks):
+        ln = b.n_steps
+        block_of[row : row + ln] = i
+        block_start[i] = row
+        if ln:
+            is_first[row] = 1
+            is_last[row + ln - 1] = 1
+        row += ln
+
+    win_len = np.stack(
+        [(np.abs(b.windows[:, 1] - b.windows[:, 0]) + 1).astype(np.uint64) for b in blocks]
+    )  # [nb, tau]
+    in_off = np.stack([b.head_in_offsets.astype(np.uint64) for b in blocks])
+    out_off = np.stack([b.head_out_offsets.astype(np.uint64) for b in blocks])
+    return dict(
+        n=n,
+        tau=tau,
+        input_mv=input_mv,
+        tape_mv=tape_mv,
+        wflag=wflag,
+        wsym=wsym,
+        block_of=block_of,
+        block_start=block_start,
+        is_first=is_first,
+        is_last=is_last,
+        win_len=win_len,
+        in_off=in_off,
+        out_off=out_off,
+    )
+
+
+@lru_cache(maxsize=8)
+def _jit_columns(n: int, tau: int, nb: int):
+    import jax
+    import jax.numpy as jnp
+
+    from ...ops import goldilocks_jax as FJ
+
+    P_HI = np.uint32(0xFFFFFFFF)
+
+    def from_i64_small(x32_signed):
+        """int32 values in (-2^31, 2^31) -> field (rem_euclid semantics).
+
+        Negative x maps to p - |x| with p = (lo=1, hi=0xFFFFFFFF):
+        lo = 1 - |x| (wrapping), hi = 0xFFFFFFFF - borrow."""
+        x = x32_signed
+        neg = x < 0
+        mag = jnp.where(neg, -x, x).astype(jnp.uint32)
+        lo_neg = np.uint32(1) - mag  # wraps when mag > 1
+        hi_neg = jnp.where(mag > 1, P_HI - 1, P_HI)
+        return (
+            jnp.where(neg, lo_neg, mag),
+            jnp.where(neg, hi_neg, np.uint32(0)),
+        )
+
+    def f(input_mv, tape_mv, wflag, wsym, block_of, block_start, is_first, is_last,
+          win_len, in_off, out_off):
+        # shapes: input_mv i8 [n]; tape_mv i8 [n, tau]; wflag u8; wsym u16
+        # block_of i32 [n]; block_start i32 [nb]; win/in/out u32 [nb, tau] (lo only)
+        cols_lo = []
+        cols_hi = []
+
+        imv = from_i64_small(input_mv.astype(jnp.int32))
+        cols_lo.append(imv[0]); cols_hi.append(imv[1])
+        cols_lo.append(is_first.astype(jnp.uint32)); cols_hi.append(jnp.zeros(n, jnp.uint32))
+        cols_lo.append(is_last.astype(jnp.uint32)); cols_hi.append(jnp.zeros(n, jnp.uint32))
+
+        tmv32 = tape_mv.astype(jnp.int32)  # [n, tau]
+        # heads: global cumsum minus cumsum at block entry
+        csum = jnp.cumsum(tmv32, axis=0)  # [n, tau] (n < 2^31 safe)
+        start_csum_rows = jnp.concatenate(
+            [jnp.zeros((1, tau), jnp.int32), csum[block_start[1:] - 1]]
+        ) if nb > 1 else jnp.zeros((1, tau), jnp.int32)
+        head_rel = csum - start_csum_rows[block_of]  # [n, tau]
+
+        per_tape = {"mv": [], "wflag": [], "wsym": [], "head": [], "winlen": [],
+                    "in_off": [], "out_off": []}
+        for r in range(tau):
+            per_tape["mv"].append(from_i64_small(tmv32[:, r]))
+            per_tape["wflag"].append(
+                (wflag[:, r].astype(jnp.uint32), jnp.zeros(n, jnp.uint32))
+            )
+            per_tape["wsym"].append(
+                (wsym[:, r].astype(jnp.uint32), jnp.zeros(n, jnp.uint32))
+            )
+            per_tape["head"].append(from_i64_small(head_rel[:, r]))
+            per_tape["winlen"].append(
+                (win_len[:, r][block_of], jnp.zeros(n, jnp.uint32))
+            )
+            per_tape["in_off"].append(
+                (in_off[:, r][block_of], jnp.zeros(n, jnp.uint32))
+            )
+            per_tape["out_off"].append(
+                (out_off[:, r][block_of], jnp.zeros(n, jnp.uint32))
+            )
+        for name in ("mv", "wflag", "wsym", "head", "winlen", "in_off", "out_off"):
+            for r in range(tau):
+                cols_lo.append(per_tape[name][r][0])
+                cols_hi.append(per_tape[name][r][1])
+        return jnp.stack(cols_lo), jnp.stack(cols_hi)
+
+    return jax.jit(f)
+
+
+class DeviceColumns:
+    """Column matrix [C, n] as device-resident u32 limb planes."""
+
+    def __init__(self, blocks: Sequence):
+        import jax.numpy as jnp
+
+        h = _host_inputs(blocks)
+        self.n = h["n"]
+        self.tau = h["tau"]
+        self.labels = all_labels(self.tau)
+        nb = len(blocks)
+        f = _jit_columns(self.n, self.tau, nb)
+        self.lo, self.hi = f(
+            jnp.asarray(h["input_mv"]),
+            jnp.asarray(h["tape_mv"]),
+            jnp.asarray(h["wflag"].astype(np.uint8)),
+            jnp.asarray(h["wsym"].astype(np.uint16)),
+            jnp.asarray(h["block_of"]),
+            jnp.asarray(h["block_start"]),
+            jnp.asarray(h["is_first"]),
+            jnp.asarray(h["is_last"]),
+            jnp.asarray((h["win_len"] & 0xFFFFFFFF).astype(np.uint32)),
+            jnp.asarray((h["in_off"] & 0xFFFFFFFF).astype(np.uint32)),
+            jnp.asarray((h["out_off"] & 0xFFFFFFFF).astype(np.uint32)),
+        )
+
+    def to_host(self) -> np.ndarray:
+        """u64 [C, n] (for parity tests)."""
+        import jax
+
+        lo, hi = jax.device_get((self.lo, self.hi))
+        return lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+
+
+# ----------------------- device AIR composition -----------------------------
+
+
+@lru_cache(maxsize=8)
+def _w_base_pows_device(n_log2: int):
+    import jax.numpy as jnp
+
+    from ...ops import goldilocks_jax as FJ
+    from ...ops import ntt as ntt_host
+
+    t = FJ.pack(ntt_host.powers(G.primitive_root_2exp(n_log2), 1 << n_log2))
+    return jnp.asarray(t[0]), jnp.asarray(t[1])
+
+
+@lru_cache(maxsize=8)
+def _jit_compose(n: int, tau: int, n_masks: int, mask_deg: int):
+    import jax
+    import jax.numpy as jnp
+
+    from ...ops import goldilocks_jax as FJ
+
+    M16 = np.uint32(0xFFFF)
+
+    def f(lo, hi, a_lo, a_hi, mc_lo, mc_hi, xs_lo, xs_hi):
+        # lo/hi: [C, n]; a: [11] alphas; mc: [n_masks, mask_deg]; xs: [n]
+        # All per-tape terms are computed on [tau, n] slabs at once and the
+        # final sum is tree-reduced — keeping the dependency chain shallow
+        # (XLA:CPU compile time explodes on deep elementwise chains).
+        def slab(base):
+            return lo[base : base + tau], hi[base : base + tau]
+
+        def alpha(i, shape):
+            return (
+                jnp.broadcast_to(a_lo[i], shape),
+                jnp.broadcast_to(a_hi[i], shape),
+            )
+
+        sh = (tau, n)
+        one = (jnp.ones(sh, jnp.uint32), jnp.zeros(sh, jnp.uint32))
+        is_first = (
+            jnp.broadcast_to(lo[1], sh), jnp.broadcast_to(hi[1], sh)
+        )
+        is_last = (
+            jnp.broadcast_to(lo[2], sh), jnp.broadcast_to(hi[2], sh)
+        )
+        one_minus_last = FJ.sub(one, is_last)
+
+        mv = slab(3)
+        flg = slab(3 + tau)
+        sym = slab(3 + 2 * tau)
+        head = slab(3 + 3 * tau)
+        wlen = slab(3 + 4 * tau)
+        ioff = slab(3 + 5 * tau)
+        ooff = slab(3 + 6 * tau)
+        head_next = (jnp.roll(head[0], -1, axis=1), jnp.roll(head[1], -1, axis=1))
+        mv_next = (jnp.roll(mv[0], -1, axis=1), jnp.roll(mv[1], -1, axis=1))
+
+        terms = []
+        terms.append(FJ.mul(alpha(0, sh), FJ.mul(flg, FJ.sub(flg, one))))
+        terms.append(
+            FJ.mul(alpha(1, sh), FJ.mul(mv, FJ.mul(FJ.sub(mv, one), FJ.add(mv, one))))
+        )
+        hu = FJ.sub(FJ.sub(head_next, head), mv_next)
+        terms.append(FJ.mul(alpha(2, sh), FJ.mul(one_minus_last, hu)))
+
+        head_low = (head[0] & M16, jnp.zeros(sh, jnp.uint32))
+        terms.append(FJ.mul(alpha(4, sh), FJ.mul(flg, FJ.sub(head, head_low))))
+        slack = FJ.sub(FJ.sub(wlen, one), head)
+        slack_low = (slack[0] & M16, jnp.zeros(sh, jnp.uint32))
+        terms.append(FJ.mul(alpha(6, sh), FJ.mul(flg, FJ.sub(slack, slack_low))))
+        sym_low = (sym[0] & np.uint32(0xF), jnp.zeros(sh, jnp.uint32))
+        terms.append(FJ.mul(alpha(8, sh), FJ.mul(flg, FJ.sub(sym, sym_low))))
+
+        terms.append(
+            FJ.mul(alpha(9, sh), FJ.mul(is_first, FJ.sub(FJ.sub(head, mv), ioff)))
+        )
+        terms.append(FJ.mul(alpha(10, sh), FJ.mul(is_last, FJ.sub(head, ooff))))
+
+        # ZK masks on [n] (appended after the tau-reduction)
+        xs = (xs_lo, xs_hi)
+        mask_terms = []
+        for k in range(n_masks):
+            m = (jnp.zeros(n, jnp.uint32), jnp.zeros(n, jnp.uint32))
+            for d in range(mask_deg - 1, -1, -1):
+                c = (
+                    jnp.broadcast_to(mc_lo[k, d], (n,)),
+                    jnp.broadcast_to(mc_hi[k, d], (n,)),
+                )
+                m = FJ.add(FJ.mul(m, xs), c)
+            mask_terms.append(m)
+
+        # tree-reduce the [tau, n] terms, then the tau axis, then masks
+        while len(terms) > 1:
+            nxt = [
+                FJ.add(terms[i], terms[i + 1]) for i in range(0, len(terms) - 1, 2)
+            ]
+            if len(terms) & 1:
+                nxt.append(terms[-1])
+            terms = nxt
+        acc2d = terms[0]
+        parts = [(acc2d[0][r], acc2d[1][r]) for r in range(tau)] + mask_terms
+        while len(parts) > 1:
+            nxt = [
+                FJ.add(parts[i], parts[i + 1]) for i in range(0, len(parts) - 1, 2)
+            ]
+            if len(parts) & 1:
+                nxt.append(parts[-1])
+            parts = nxt
+        return parts[0]
+
+    return jax.jit(f)
+
+
+def compose_device(dc: DeviceColumns, alphas: Alphas, mask_coeffs) -> Tuple:
+    """Base composition + ZK masks for all rows, on device.
+
+    Returns (lo, hi) jnp [n]. Bit-identical to
+    air.compose_all_rows + masking.eval_masks_sum_at_points."""
+    import jax.numpy as jnp
+
+    a_list = [
+        alphas.bool_flag, alphas.mv_domain, alphas.head_update,
+        alphas.head_bits_bool, alphas.head_reconstruct, alphas.slack_bits_bool,
+        alphas.slack_reconstruct, alphas.sym_bits_bool, alphas.sym_reconstruct,
+        alphas.boundary_first, alphas.boundary_last,
+    ]
+    a = np.array(a_list, dtype=np.uint64)
+    mc = np.array(mask_coeffs, dtype=np.uint64)
+    n_log2 = dc.n.bit_length() - 1
+    xs = _w_base_pows_device(n_log2)
+    f = _jit_compose(dc.n, dc.tau, mc.shape[0], mc.shape[1])
+    return f(
+        dc.lo,
+        dc.hi,
+        jnp.asarray((a & 0xFFFFFFFF).astype(np.uint32)),
+        jnp.asarray((a >> 32).astype(np.uint32)),
+        jnp.asarray((mc & 0xFFFFFFFF).astype(np.uint32)),
+        jnp.asarray((mc >> 32).astype(np.uint32)),
+        xs[0],
+        xs[1],
+    )

@@ -105,17 +105,22 @@ class DeviceFri:
         q = fri.open_queries(fri_rows)       # after query derivation
     """
 
-    def __init__(self, lde_vals_u64: np.ndarray):
+    def __init__(self, lde_vals_u64=None, planes=None):
         import jax.numpy as jnp
 
         from ...ops import goldilocks_jax as FJ
 
-        self.n = int(lde_vals_u64.shape[0])
+        if planes is not None:
+            self._vals0_host = None
+            self._lde = planes
+            self.n = int(planes[0].shape[0])
+        else:
+            self.n = int(lde_vals_u64.shape[0])
+            self._vals0_host = np.asarray(lde_vals_u64, dtype=np.uint64)
+            p = FJ.pack(self._vals0_host)
+            self._lde = (jnp.asarray(p[0]), jnp.asarray(p[1]))
         self.n_log2 = self.n.bit_length() - 1
         assert 1 << self.n_log2 == self.n
-        self._vals0_host = np.asarray(lde_vals_u64, dtype=np.uint64)
-        p = FJ.pack(self._vals0_host)
-        self._lde = (jnp.asarray(p[0]), jnp.asarray(p[1]))
         self._nodes0 = None  # [2n-1, 8] layer-0 tree (leaf CVs first)
         self._vals_lo = None  # folded layer values (layers 1..) flat
         self._vals_hi = None
@@ -210,10 +215,17 @@ class DeviceFri:
         node_reqs1: List[int] = []
         val_reqs: List[Tuple[int, int]] = []
         val_seq = {}
+        val0_reqs: List[int] = []
+        val0_seq = {}
 
         def plan_value(layer: int, idx: int):
             if layer == 0:
-                return ("host", idx)
+                if self._vals0_host is not None:
+                    return ("host", idx)
+                if idx not in val0_seq:
+                    val0_seq[idx] = len(val0_reqs)
+                    val0_reqs.append(idx)
+                return ("val0", val0_seq[idx])
             key = (layer, idx)
             if key not in val_seq:
                 val_seq[key] = len(val_reqs)
@@ -289,11 +301,20 @@ class DeviceFri:
             )
         else:
             vlo = vhi = np.zeros(0, np.uint32)
+        if val0_reqs:
+            v0idx = jnp.asarray(np.array(val0_reqs, dtype=np.int32))
+            v0lo, v0hi = jax.device_get(
+                (self._lde[0][v0idx], self._lde[1][v0idx])
+            )
+        else:
+            v0lo = v0hi = np.zeros(0, np.uint32)
 
         def value_bytes(ref) -> bytes:
             kind, x = ref
             if kind == "host":
                 return int(self._vals0_host[x]).to_bytes(8, "little")
+            if kind == "val0":
+                return (int(v0lo[x]) | (int(v0hi[x]) << 32)).to_bytes(8, "little")
             return (int(vlo[x]) | (int(vhi[x]) << 32)).to_bytes(8, "little")
 
         def path_bytes(refs) -> List[bytes]:

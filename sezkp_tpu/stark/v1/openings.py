@@ -32,10 +32,16 @@ class ColumnEngine:
     host link (the reference recomputes per-row on the CPU instead,
     openings.rs:278-498; same roots/paths, radically different schedule)."""
 
-    def __init__(self, tc: TraceColumns, chunk_log2: int = params.COL_CHUNK_LOG2):
+    def __init__(self, tc, chunk_log2: int = params.COL_CHUNK_LOG2, dc=None):
+        """`tc`: host TraceColumns (may be None when `dc` is given).
+        `dc`: DeviceColumns — enables the fully device-resident path (columns
+        derived, hashed, and opened on device; values gathered per opening)."""
         self.tc = tc
+        self._dc = dc
         self.chunk_log2 = chunk_log2
-        self.labels = all_labels(tc.tau)
+        tau = dc.tau if dc is not None else tc.tau
+        self._n = dc.n if dc is not None else tc.n
+        self.labels = all_labels(tau)
         self._commits: Dict[str, ColumnCommit] = {}
         # device mode state
         self._dev = False
@@ -46,7 +52,7 @@ class ColumnEngine:
 
     @property
     def n_rows(self) -> int:
-        return self.tc.n
+        return self._n
 
     def _commit(self, label: str) -> ColumnCommit:
         cc = self._commits.get(label)
@@ -64,8 +70,8 @@ class ColumnEngine:
         if (
             not self._dev
             and not self._commits
-            and _device_ready(self.tc.n)
-            and self.tc.n % (1 << self.chunk_log2) == 0
+            and _device_ready(self._n)
+            and self._n % (1 << self.chunk_log2) == 0
         ):
             self._build_device()
         if self._dev:
@@ -83,11 +89,19 @@ class ColumnEngine:
         cv_parts = []
         order: List[str] = []
         for _plen, lbs in groups.items():
-            vals = np.stack([self.tc.column_by_label(lb) for lb in lbs])
-            cvs, croots = blake3_jax.columns_commit_device(
-                vals, [_label_prefix(lb) for lb in lbs], self.chunk_log2,
-                resident=True,
-            )
+            prefixes = [_label_prefix(lb) for lb in lbs]
+            if self._dc is not None:
+                idx = jnp.asarray(
+                    np.array([self._dc.labels.index(lb) for lb in lbs], np.int32)
+                )
+                cvs, croots = blake3_jax.columns_commit_from_planes(
+                    self._dc.lo[idx], self._dc.hi[idx], prefixes, self.chunk_log2
+                )
+            else:
+                vals = np.stack([self.tc.column_by_label(lb) for lb in lbs])
+                cvs, croots = blake3_jax.columns_commit_device(
+                    vals, prefixes, self.chunk_log2, resident=True
+                )
             cv_parts.append(cvs)
             for i, lb in enumerate(lbs):
                 order.append(lb)
@@ -119,9 +133,12 @@ class ColumnEngine:
         if not self._dev:
             return [self.open(lb, r) for lb, r in requests]
 
+        import jax
+        import jax.numpy as jnp
+
         from ...ops import blake3_jax
 
-        n = self.tc.n
+        n = self._n
         chunk = 1 << self.chunk_log2
         k = len(requests)
         starts = np.empty(k, dtype=np.int64)
@@ -134,15 +151,36 @@ class ColumnEngine:
         paths, _roots = blake3_jax.chunk_paths_device(
             flat, starts, idxs, self.chunk_log2
         )
+
+        if self._dc is not None:
+            vidx = jnp.asarray(
+                np.array(
+                    [
+                        self._dc.labels.index(lb) * n + row
+                        for lb, row in requests
+                    ],
+                    dtype=np.int32,
+                )
+            )
+            vlo, vhi = jax.device_get(
+                (self._dc.lo.reshape(-1)[vidx], self._dc.hi.reshape(-1)[vidx])
+            )
+
+            def value_le(i, lb, row):
+                return (int(vlo[i]) | (int(vhi[i]) << 32)).to_bytes(8, "little")
+
+        else:
+
+            def value_le(i, lb, row):
+                return G.to_le_bytes(self.tc.column_by_label(lb)[row]).tobytes()
+
         out: List[Opening] = []
         for i, (lb, row) in enumerate(requests):
             ci = row // chunk
             ii = row - ci * chunk
             out.append(
                 Opening(
-                    value_le=G.to_le_bytes(
-                        self.tc.column_by_label(lb)[row]
-                    ).tobytes(),
+                    value_le=value_le(i, lb, row),
                     index=row,
                     chunk_index=ci,
                     index_in_chunk=ii,

@@ -46,6 +46,18 @@ from .proof import FriQuery, PerTapeOpen, ProofV1, RowOpenings
 JAX_LDE_MIN_LOG2 = 15
 
 
+def _use_device_cols(n: int) -> bool:
+    """Full device pipeline threshold (columns derived on device)."""
+    if n < (1 << 13):
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _use_device_fri(lde_n: int) -> bool:
     if lde_n < (1 << 14):
         return False
@@ -108,14 +120,27 @@ def prove_v1(
     """Produce a v1 proof. `streaming=True` selects the O(chunk)-memory
     column engine (recompute-on-open) — same proof bytes, different memory
     schedule (reference: StarkV1::prove_streaming, lib.rs:170-191)."""
-    tc = TraceColumns.build(blocks)
-    n = tc.n
+    n = sum(b.n_steps for b in blocks)
+    tau = blocks[0].tau if blocks else 0
     assert n & (n - 1) == 0 and n > 0, "trace length must be a power of two"
+
+    # Fully device-resident pipeline: columns derived from the raw movement
+    # logs on device, hashed/committed/composed/LDE'd/FRI'd there; only the
+    # logs go up and roots/paths come back.
+    device_pipeline = not streaming and _use_device_cols(n)
+    dc = None
+    tc = None
+    if device_pipeline:
+        from .columns_device import DeviceColumns
+
+        dc = DeviceColumns(blocks)
+    else:
+        tc = TraceColumns.build(blocks)
 
     tr = Blake3Transcript(params.DS_V1_DOMAIN)
     tr.absorb("manifest_root", manifest_root)
     tr.absorb_u64("n", n)
-    tr.absorb_u64("tau", tc.tau)
+    tr.absorb_u64("tau", tau)
 
     # ---- column commitments (batched; streaming = chunked recompute) ----
     if streaming:
@@ -123,7 +148,7 @@ def prove_v1(
 
         engine = StreamingColumnEngine(blocks, params.COL_CHUNK_LOG2)
     else:
-        engine = ColumnEngine(tc, params.COL_CHUNK_LOG2)
+        engine = ColumnEngine(tc, params.COL_CHUNK_LOG2, dc=dc)
     col_roots = engine.build_roots()
     tr.absorb_u64(params.DS_N_COLS, len(col_roots))
     for cr in col_roots:
@@ -142,20 +167,28 @@ def prove_v1(
     z = params.derive_ood_point(tr)
     z = _nudge_off_coset(z, shift, lde_k_log2)
 
-    # ---- base composition + ZK masks, vectorized over all rows ----
-    comp = compose_all_rows(tc, alphas)
-    w_base_pows = ntt_host.powers(G.primitive_root_2exp(base_log2), n)
-    base_vals = G.add(comp, eval_masks_sum_at_points(mask_coeffs, w_base_pows))
-
-    # ---- DEEP coset LDE (fused device kernel for large domains) ----
-    lde_vals = _deep_lde(base_vals, blow_log2, shift, z)
-
-    # ---- FRI commit: bind root0, betas, fold + bind roots ----
+    # ---- base composition + ZK masks + DEEP coset LDE ----
     fri_eng = None
-    if _use_device_fri(lde_n):
+    if device_pipeline:
+        from ...ops import ntt_pallas
+        from .columns_device import compose_device
         from .fri_device import DeviceFri
 
-        fri_eng = DeviceFri(lde_vals)
+        base_planes = compose_device(dc, alphas, mask_coeffs)
+        lde_planes = ntt_pallas.deep_coset_lde_planes(base_planes, blow_log2, shift, z)
+        fri_eng = DeviceFri(planes=lde_planes)
+    else:
+        comp = compose_all_rows(tc, alphas)
+        w_base_pows = ntt_host.powers(G.primitive_root_2exp(base_log2), n)
+        base_vals = G.add(comp, eval_masks_sum_at_points(mask_coeffs, w_base_pows))
+        lde_vals = _deep_lde(base_vals, blow_log2, shift, z)
+        if _use_device_fri(lde_n):
+            from .fri_device import DeviceFri
+
+            fri_eng = DeviceFri(lde_vals)
+
+    # ---- FRI commit: bind root0, betas, fold + bind roots ----
+    if fri_eng is not None:
         root0 = fri_eng.commit_layer0()
         tr.absorb(params.DS_FRI_LAYER_ROOT, root0)
         betas = params.derive_betas_for_fri(tr, lde_k_log2)
@@ -174,7 +207,7 @@ def prove_v1(
     requests = []
     for row in rows:
         ip1 = _next_wrap(row, n)
-        for r in range(tc.tau):
+        for r in range(tau):
             requests += [
                 (f"mv_{r}", row), (f"mv_{r}", ip1),
                 (f"wflag_{r}", row), (f"wsym_{r}", row),
@@ -192,7 +225,7 @@ def prove_v1(
                 write_sym=next(opened), head=next(opened), next_head=next(opened),
                 win_len=next(opened), in_off=next(opened), out_off=next(opened),
             )
-            for _ in range(tc.tau)
+            for _ in range(tau)
         ]
         queries.append(
             RowOpenings(
@@ -213,7 +246,7 @@ def prove_v1(
 
     return ProofV1(
         domain_n=lde_n,
-        tau=tc.tau,
+        tau=tau,
         col_roots=col_roots,
         queries=queries,
         fri_roots=roots,
