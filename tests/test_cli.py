@@ -1,0 +1,78 @@
+"""CLI end-to-end tests (in-process, mirrors the reference CLI smoke tests)."""
+
+import json
+import os
+
+import pytest
+
+from sezkp_tpu import cli
+
+
+def run(args):
+    rc = cli.main(args)
+    assert rc == 0 or rc is None
+
+
+@pytest.fixture()
+def ws(tmp_path):
+    return str(tmp_path)
+
+
+def test_full_pipeline_fold_streaming(ws):
+    blocks = os.path.join(ws, "blocks.jsonl")
+    manifest = os.path.join(ws, "manifest.cbor")
+    proof = os.path.join(ws, "proof.cbor")
+    run(["simulate", "--t", "128", "--b", "16", "--tau", "3", "--out-blocks", blocks])
+    run(["commit", "--blocks", blocks, "--out", manifest])
+    run(["verify-commit", "--blocks", blocks, "--manifest", manifest])
+    run(
+        ["prove", "--backend", "fold", "--blocks", blocks, "--manifest", manifest,
+         "--out", proof, "--fold-mode", "minram", "--fold-cache", "8", "--stream"]
+    )
+    assert os.path.exists(os.path.join(ws, "proof.cborseq"))
+    run(["verify", "--backend", "fold", "--blocks", blocks, "--manifest", manifest,
+         "--proof", proof])
+
+
+def test_full_pipeline_stark_v0(ws):
+    blocks = os.path.join(ws, "blocks.cbor")
+    manifest = os.path.join(ws, "manifest.json")
+    proof = os.path.join(ws, "proof.json")
+    run(["simulate", "--t", "64", "--b", "8", "--tau", "2", "--out-blocks", blocks])
+    run(["commit", "--blocks", blocks, "--out", manifest])
+    run(["prove", "--backend", "stark-v0", "--blocks", blocks, "--manifest", manifest,
+         "--out", proof, "--assume-committed"])
+    run(["verify", "--backend", "stark-v0", "--blocks", blocks, "--manifest", manifest,
+         "--proof", proof, "--assume-committed"])
+
+
+def test_export_jsonl_roundtrip(ws):
+    blocks = os.path.join(ws, "blocks.cbor")
+    out = os.path.join(ws, "blocks.jsonl")
+    run(["simulate", "--t", "32", "--b", "4", "--tau", "2", "--out-blocks", blocks])
+    run(["export-jsonl", "--input", blocks, "--output", out])
+    from sezkp_tpu.core.io import (
+        read_block_summaries_auto,
+        stream_block_summaries_jsonl,
+    )
+
+    a = read_block_summaries_auto(blocks)
+    b = list(stream_block_summaries_jsonl(out))
+    assert a == b
+
+
+def test_verify_rejects_corrupted_stream(ws):
+    blocks = os.path.join(ws, "blocks.jsonl")
+    manifest = os.path.join(ws, "manifest.cbor")
+    proof = os.path.join(ws, "proof.cbor")
+    run(["simulate", "--t", "64", "--b", "8", "--tau", "2", "--out-blocks", blocks])
+    run(["commit", "--blocks", blocks, "--out", manifest])
+    run(["prove", "--backend", "fold", "--blocks", blocks, "--manifest", manifest,
+         "--out", proof, "--stream", "--assume-committed"])
+    stream = os.path.join(ws, "proof.cborseq")
+    data = bytearray(open(stream, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(stream, "wb").write(bytes(data))
+    with pytest.raises(Exception):
+        cli.main(["verify", "--backend", "fold", "--blocks", blocks,
+                  "--manifest", manifest, "--proof", proof, "--assume-committed"])
