@@ -114,7 +114,13 @@ class FoldBackend:
     @staticmethod
     def prove(blocks: Sequence[BlockSummary], _manifest_root: bytes) -> ProofArtifact:
         opts = opts_from_env()
-        bundle = run_pipeline(blocks, opts)
+        if opts.fold_mode == FoldMode.BALANCED:
+            # level-batched pipeline; bit-identical bundle (fold/batch.py)
+            from .batch import run_pipeline_batched
+
+            bundle = run_pipeline_batched(blocks, opts)
+        else:
+            bundle = run_pipeline(blocks, opts)
         root_c, root_pi = bundle_top(bundle)
         bundle_cbor = cbor.dumps(bundle.to_obj())
         proof_bytes = encode_envelope_v2(bundle_cbor, root_c, root_pi)

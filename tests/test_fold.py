@@ -166,3 +166,27 @@ def test_bundle_cbor_roundtrip(blocks):
 def test_pi_serde_roundtrip():
     pi = Pi(3, 4, 5, (11, 22, 33, 44))
     assert Pi.from_obj(pi.to_obj()) == pi
+
+
+def test_batched_pipeline_matches_sequential(blocks):
+    from sezkp_tpu.fold.batch import run_pipeline_batched
+
+    for wc in (0, 3):
+        a = run_pipeline(blocks, DriverOptions(wrap_cadence=wc))
+        b = run_pipeline_batched(blocks, DriverOptions(wrap_cadence=wc))
+        assert cbor.dumps(a.to_obj()) == cbor.dumps(b.to_obj())
+        verify_bundle(b)
+
+
+def test_batched_leaf_proofs_match(blocks):
+    from sezkp_tpu.fold.batch import batch_leaf_proofs
+
+    want = [CryptoLeaf.prove_leaf(b) for b in blocks]
+    got = batch_leaf_proofs(blocks)
+    for (p1, c1, pr1), (p2, c2, pr2) in zip(got, want):
+        assert p1 == p2 and c1 == c2
+        assert (pr1.public, pr1.proof_mac, pr1.mac) == (
+            pr2.public,
+            pr2.proof_mac,
+            pr2.mac,
+        )
