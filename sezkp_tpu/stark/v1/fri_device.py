@@ -46,8 +46,13 @@ def _jit_phase1(n_log2: int):
     return jax.jit(f)
 
 
+# Device handles layers down to this size; smaller tail layers fold on host
+# (bounds the phase-2 graph so compile time doesn't scale with lde size).
+MIN_DEVICE_LAYER_LOG2 = 11
+
+
 @lru_cache(maxsize=4)
-def _jit_phase2(n_log2: int):
+def _jit_phase2(n_log2: int, dev_layers: int):
     import jax
 
     from ...ops import blake3_jax as BJ
@@ -61,7 +66,7 @@ def _jit_phase2(n_log2: int):
         nodes_flat = []
         roots = []
         cur = (lo, hi)
-        for l in range(n_log2):
+        for l in range(dev_layers):
             half = (n >> l) // 2
             beta = (betas_lo[l], betas_hi[l])
             folded = FJ.add(
@@ -85,6 +90,8 @@ def _jit_phase2(n_log2: int):
             jnp.concatenate(vals_flat[1::2]),
             jnp.concatenate(nodes_flat, axis=0),
             jnp.stack(roots),
+            cur[0],
+            cur[1],
         )
 
     return jax.jit(f)
@@ -127,6 +134,9 @@ class DeviceFri:
         self._nodes_rest = None
         self._roots: List[bytes] = []
         self._final_value: int | None = None
+        self._dev_layers = 0
+        self._host_layers = {}
+        self._host_trees = {}
 
         # host-side offset tables
         self._level_sizes0 = self._tree_level_sizes(self.n)
@@ -153,20 +163,22 @@ class DeviceFri:
         import jax
         import jax.numpy as jnp
 
-        from ...ops import goldilocks_jax as FJ
+        from . import fri as host_fri
 
+        self._dev_layers = max(1, self.n_log2 - MIN_DEVICE_LAYER_LOG2)
+        dev_layers = self._dev_layers
         bl = np.array([b & 0xFFFFFFFF for b in betas], dtype=np.uint32)
         bh = np.array([b >> 32 for b in betas], dtype=np.uint32)
-        vl, vh, nodes, roots = _jit_phase2(self.n_log2)(
-            self._lde[0], self._lde[1], jnp.asarray(bl), jnp.asarray(bh)
-        )
+        vl, vh, nodes, roots, tail_lo, tail_hi = _jit_phase2(
+            self.n_log2, dev_layers
+        )(self._lde[0], self._lde[1], jnp.asarray(bl), jnp.asarray(bh))
         self._vals_lo, self._vals_hi, self._nodes_rest = vl, vh, nodes
 
-        # offsets
+        # device layout (layers 1..dev_layers)
         val_off = 0
         node_off = 0
         self._rest_layout = []
-        for l in range(1, self.n_log2 + 1):
+        for l in range(1, dev_layers + 1):
             m = self.n >> l
             sizes = self._tree_level_sizes(m)
             self._rest_layout.append((val_off, node_off, sizes))
@@ -175,12 +187,23 @@ class DeviceFri:
 
         roots_np = _cv_bytes(jax.device_get(roots))
         self._roots = [r.tobytes() for r in roots_np]
-        # final value = single element of the last layer
-        last_off = self._rest_layout[-1][0]
-        import jax as _jax
 
-        fv = _jax.device_get((vl[last_off], vh[last_off]))
-        self._final_value = int(fv[0]) | (int(fv[1]) << 32)
+        # host tail: fold the remaining small layers from the pulled last
+        # device layer (a few thousand values)
+        t_lo, t_hi = jax.device_get((tail_lo, tail_hi))
+        tail = t_lo.astype(np.uint64) | (t_hi.astype(np.uint64) << np.uint64(32))
+        self._host_layers = {}
+        self._host_trees = {}
+        cur = tail
+        layer_idx = dev_layers
+        while cur.shape[0] > 1:
+            cur = host_fri.fold(cur, betas[layer_idx])
+            layer_idx += 1
+            tree = host_fri.layer_tree(cur)
+            self._host_layers[layer_idx] = cur
+            self._host_trees[layer_idx] = tree
+            self._roots.append(tree.root())
+        self._final_value = int(cur[0])
         return list(self._roots)
 
     def final_value_le(self) -> bytes:
@@ -226,6 +249,8 @@ class DeviceFri:
                     val0_seq[idx] = len(val0_reqs)
                     val0_reqs.append(idx)
                 return ("val0", val0_seq[idx])
+            if layer > self._dev_layers:
+                return ("hostlayer", (layer, idx))
             key = (layer, idx)
             if key not in val_seq:
                 val_seq[key] = len(val_reqs)
@@ -233,6 +258,8 @@ class DeviceFri:
             return ("val", val_seq[key])
 
         def plan_path(layer: int, layer_len: int, target: int):
+            if layer > self._dev_layers:
+                return ("hosttree", layer, target)
             refs = []
             m = layer_len
             t = target
@@ -315,9 +342,15 @@ class DeviceFri:
                 return int(self._vals0_host[x]).to_bytes(8, "little")
             if kind == "val0":
                 return (int(v0lo[x]) | (int(v0hi[x]) << 32)).to_bytes(8, "little")
+            if kind == "hostlayer":
+                layer, idx = x
+                return int(self._host_layers[layer][idx]).to_bytes(8, "little")
             return (int(vlo[x]) | (int(vhi[x]) << 32)).to_bytes(8, "little")
 
         def path_bytes(refs) -> List[bytes]:
+            if isinstance(refs, tuple) and refs and refs[0] == "hosttree":
+                _, layer, target = refs
+                return self._host_trees[layer].open(target)
             return [
                 (g0[i] if buf == 0 else g1[i]).tobytes() for buf, i in refs
             ]
