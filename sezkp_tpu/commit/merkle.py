@@ -19,7 +19,7 @@ import json
 import os
 import struct
 from dataclasses import dataclass
-from typing import Iterable, Iterator, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 

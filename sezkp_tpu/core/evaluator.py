@@ -6,7 +6,7 @@ Sigma([1, T]), enforcing the exact-replay interface check before each combine.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 from .combiner import ConstantCombiner
 from .replay import ExactReplayer

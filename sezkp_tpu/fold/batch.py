@@ -20,7 +20,7 @@ from ..commit.merkle import leaf_hashes_batch
 from ..crypto import blake3
 from ..crypto.transcript import TRANSCRIPT_PREFIX
 from ..stark.v1.columns import IFACE_WINDOW_STEPS
-from .api import Commitment, DriverOptions, PiCommitment
+from .api import Commitment, DriverOptions
 from .are import InterfaceWitness, Pi
 from .are_replay import AreProofV2
 from .gadgets import CryptoFoldProof, CryptoLeafProof

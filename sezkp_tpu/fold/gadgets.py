@@ -7,7 +7,6 @@ manifest root.
 
 from __future__ import annotations
 
-import struct
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -20,7 +19,6 @@ from .api import Commitment, DS_FOLD, DS_LEAF, DS_WRAP, PiCommitment, commit_pi
 from .are import CombineAux, InterfaceWitness, Pi, combine
 from .are_replay import (
     AreProof,
-    AreProofV2,
     are_proof_from_obj,
     bincode_are_proof,
     prove_replay_from_children,

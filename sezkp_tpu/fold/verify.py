@@ -5,7 +5,7 @@ Reference: crates/sezkp-fold/src/verify.rs.
 
 from __future__ import annotations
 
-from typing import BinaryIO, Optional, Tuple
+from typing import Optional, Tuple
 
 from ..utils import cbor
 from .api import Commitment, PiCommitment, commit_pi

@@ -9,7 +9,6 @@ pipeline (trace -> partition -> commit -> prove -> verify) for any backend.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 

@@ -19,7 +19,6 @@ Cross-tested bit-exactly against the host implementation.
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

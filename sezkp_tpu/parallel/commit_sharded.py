@@ -11,9 +11,6 @@ deterministic (host-0 ordering) as required for Fiat-Shamir parity.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,8 +65,6 @@ def gathered_roots_to_root(roots_u32: np.ndarray) -> bytes:
 def sharded_merkle_root_u64(values: np.ndarray, mesh: Mesh, prefix: bytes = b"") -> bytes:
     """End-to-end: hash + commit u64 leaf values across the mesh; returns the
     32-byte root, bit-identical to the sequential path."""
-    from ..ops import goldilocks_jax as FJ
-
     v = np.asarray(values, dtype=np.uint64)
     lo = jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32))
     hi = jnp.asarray((v >> np.uint64(32)).astype(np.uint32))

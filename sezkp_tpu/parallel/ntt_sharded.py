@@ -18,8 +18,7 @@ a bandwidth-bound transpose (SURVEY.md section 7, hard part 6).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
-from typing import Tuple
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

@@ -19,9 +19,6 @@ and runs under pjit/shard_map on any mesh size that divides the shapes.
 
 from __future__ import annotations
 
-from functools import lru_cache
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,13 +11,13 @@ air.compose_all_rows (cross-tested).
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
 from ...ops import goldilocks as G
 from .air import Alphas
-from .columns import HEAD_BITS, SYM_BITS, TraceColumns, all_labels
+from .columns import TraceColumns, all_labels
 
 
 def _host_inputs(blocks) -> dict:

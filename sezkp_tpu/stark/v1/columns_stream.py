@@ -8,13 +8,12 @@ blocks and O(chunk) memory. Values are bit-identical to TraceColumns.build.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Sequence, Tuple
+from typing import Iterator, List, Sequence
 
 import numpy as np
 
 from ...core.types import BlockSummary
 from ...ops import goldilocks as G
-from .columns import all_labels
 
 
 def block_column_matrix(b: BlockSummary) -> np.ndarray:

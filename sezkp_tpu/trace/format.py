@@ -6,7 +6,7 @@ Stored columnar (numpy) like MovementLog; wire codecs produce the serde shape
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Optional
 
 import numpy as np

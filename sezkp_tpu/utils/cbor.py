@@ -19,7 +19,7 @@ plus helpers. Schema-specific encoding lives next to each dataclass.
 from __future__ import annotations
 
 import struct
-from typing import Any, BinaryIO, Tuple
+from typing import Any
 
 __all__ = [
     "dumps",

@@ -10,7 +10,7 @@ import contextlib
 import logging
 import os
 import time
-from typing import Dict, Iterator, List, Tuple
+from typing import Iterator, List, Tuple
 
 log = logging.getLogger("sezkp_tpu")
 
