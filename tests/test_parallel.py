@@ -113,3 +113,19 @@ def test_prove_step_compiles_at_mesh_sizes(nd):
     )
     jax.block_until_ready(out)
     assert out[0].shape == (nd, 8)
+
+
+def test_sharded_ingest_matches_sequential(tmp_path):
+    from sezkp_tpu.commit.merkle import commit_block_file
+    from sezkp_tpu.core.io import write_block_summaries_jsonl
+    from sezkp_tpu.parallel.ingest import commit_block_file_sharded
+    from sezkp_tpu.trace.generator import generate_trace
+    from sezkp_tpu.trace.partition import partition_trace
+
+    blocks = partition_trace(generate_trace(777, 3), 7)  # odd sizes on purpose
+    path = str(tmp_path / "blocks.jsonl")
+    write_block_summaries_jsonl(path, blocks)
+    seq = commit_block_file(path, str(tmp_path / "m.cbor"))
+    for hosts in (1, 2, 3, 5):
+        sh = commit_block_file_sharded(path, n_hosts=hosts)
+        assert sh.root == seq.root and sh.n_leaves == seq.n_leaves
