@@ -80,16 +80,22 @@ def build_prove_step(mesh: Mesh, base_log2: int, blow_log2: int = 3):
         hi = jax.lax.all_to_all(hi, AXIS, split_axis=0, concat_axis=1, tiled=True)
         return ntt_jax._ntt_stages((lo, hi), tabs2, n2_log2)
 
-    def step(col_lo, col_hi, base_lo, base_hi, z_lo, z_hi, beta_lo, beta_hi):
+    def step(col_lo, col_hi, prefs, base_lo, base_hi, z_lo, z_hi, beta_lo, beta_hi):
         """Local shards:
-        col_lo/hi  [n/D]    one committed column slice (leaf hashing)
+        col_lo/hi  [C, n/D]  committed column slices (row-sharded)
+        prefs      [C, 16]   per-column leaf-hash prefix words (replicated)
         base_lo/hi [2^b1, 2^b2/D]  composition evals A[j1, j2] shard
         z, beta    scalars (replicated)
         """
-        # (1) column commitment shard: hash + local subtree root
-        cv = BJ.hash_leaves_u64(col_lo, col_hi, prefix=b"col_leaf\x04\x00\x00\x00mv_0")
-        col_root = BJ.merkle_root_pow2(cv)[0]
-        col_roots = jax.lax.all_gather(col_root, AXIS)  # [D, 8]
+        # (1) column commitments: hash every column's shard and reduce each to
+        # a local subtree root (vmapped over columns), then all_gather so
+        # host 0 can extend the sequential transcript in canonical order.
+        def one_col(lo, hi, pw):
+            cv = BJ.hash_leaves_u64_words(lo, hi, pw, plen=20)
+            return BJ.merkle_root_pow2(cv)[0]
+
+        col_root = jax.vmap(one_col)(col_lo, col_hi, prefs)  # [C, 8]
+        col_roots = jax.lax.all_gather(col_root, AXIS)  # [D, C, 8]
 
         # (2) distributed INTT (evals -> coeffs, natural -> k-major order)
         clo, chi = four_step(base_lo, base_hi, b1, b2, t_inv1, t_inv2, w_inv)
@@ -181,8 +187,9 @@ def build_prove_step(mesh: Mesh, base_log2: int, blow_log2: int = 3):
         step,
         mesh=mesh,
         in_specs=(
-            P(AXIS),
-            P(AXIS),
+            P(None, AXIS),
+            P(None, AXIS),
+            P(None, None),
             P(None, AXIS),
             P(None, AXIS),
             P(),
@@ -191,7 +198,7 @@ def build_prove_step(mesh: Mesh, base_log2: int, blow_log2: int = 3):
             P(),
         ),
         out_specs=(
-            P(None, None),
+            P(None, None, None),
             (P(AXIS, None), P(AXIS, None)),
             (P(AXIS, None), P(AXIS, None)),
             P(None, None),

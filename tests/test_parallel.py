@@ -5,6 +5,7 @@ equal single-host output exactly.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -67,14 +68,19 @@ def test_sharded_prove_step_lde_bit_exact(mesh8):
     beta = 55555
 
     f = build_prove_step(mesh8, base_log2)
-    col = FJ.pack(col_vals)
+    col = FJ.pack(col_vals.reshape(1, n))
     base = FJ.pack(base_vals)
     b1 = base_log2 // 2
     zp = FJ.pack(np.uint64(z))
     bp = FJ.pack(np.uint64(beta))
+    from sezkp_tpu.ops.blake3_jax import _prefix_words
+    import struct as _struct
+    prefix = b"col_leaf" + _struct.pack("<I", 4) + b"mv_0"
+    prefs = jnp.asarray(np.stack([_prefix_words(prefix)]))
     col_roots, (ylo, yhi), folded, fri_roots = f(
         col[0],
         col[1],
+        prefs,
         base[0].reshape(1 << b1, -1),
         base[1].reshape(1 << b1, -1),
         zp[0],
@@ -107,12 +113,17 @@ def test_prove_step_compiles_at_mesh_sizes(nd):
     base = FJ.pack(rng.integers(0, int(G.P), n, dtype=np.uint64))
     zp = FJ.pack(np.uint64(7))
     bp = FJ.pack(np.uint64(9))
+    from sezkp_tpu.ops.blake3_jax import _prefix_words
+    import struct as _struct
+    prefix = b"col_leaf" + _struct.pack("<I", 4) + b"mv_0"
+    prefs = jnp.asarray(np.stack([_prefix_words(prefix)] * 3))
+    colp = FJ.pack(np.stack([rng.integers(0, int(G.P), n, dtype=np.uint64) for _ in range(3)]))
     out = f(
-        col[0], col[1], base[0].reshape(8, 8), base[1].reshape(8, 8),
+        colp[0], colp[1], prefs, base[0].reshape(8, 8), base[1].reshape(8, 8),
         zp[0], zp[1], bp[0], bp[1],
     )
     jax.block_until_ready(out)
-    assert out[0].shape == (nd, 8)
+    assert out[0].shape == (nd, 3, 8)
 
 
 def test_sharded_ingest_matches_sequential(tmp_path):
