@@ -38,14 +38,16 @@ def cmd_simulate(args) -> int:
     from .core import io as core_io
     from .trace.generator import generate_trace
     from .trace.partition import partition_trace
+    from .utils.tracing import span
 
     if args.b > args.t:
         log.error("number of blocks b (%d) cannot exceed trace length T (%d)", args.b, args.t)
         return 1
     log.info("generating synthetic trace t=%d tau=%d", args.t, args.tau)
-    trace = generate_trace(args.t, args.tau)
-    blocks = partition_trace(trace, args.b)
-    core_io.write_block_summaries_auto(args.out_blocks, blocks)
+    with span("simulate", t=args.t, b=args.b, tau=args.tau):
+        trace = generate_trace(args.t, args.tau)
+        blocks = partition_trace(trace, args.b)
+        core_io.write_block_summaries_auto(args.out_blocks, blocks)
     print(f"Simulated {args.t} steps -> {len(blocks)} blocks -> {args.out_blocks}")
     return 0
 
@@ -101,6 +103,7 @@ def cmd_prove(args) -> int:
     from .core import io as core_io
     from .core.prover import StreamingProver
     from .fold import backend as fold_backend
+    from .utils.tracing import span
 
     if not args.assume_committed:
         verify_block_file_against_manifest(args.blocks, args.manifest)
@@ -114,18 +117,19 @@ def cmd_prove(args) -> int:
     backend = _backend_for(args.backend)
     sp = StreamingProver(backend)
 
-    if args.backend == "fold" and args.stream:
-        stream_path = os.path.splitext(args.out)[0] + ".cborseq"
-        os.environ[fold_backend.ENV_PROOF_STREAM_PATH] = stream_path
-        it = core_io.stream_block_summaries_auto(args.blocks)
-        artifact = sp.prove_stream_iter(it, man.root)
-        print(f"Proved (streaming/fold) -> artifact={args.out} stream={stream_path}")
-    else:
-        blocks = core_io.read_block_summaries_auto(args.blocks)
-        if args.backend == "stark" and args.stream:
-            artifact = backend.prove_streaming(blocks, man.root)
+    with span("prove", backend=args.backend, stream=args.stream):
+        if args.backend == "fold" and args.stream:
+            stream_path = os.path.splitext(args.out)[0] + ".cborseq"
+            os.environ[fold_backend.ENV_PROOF_STREAM_PATH] = stream_path
+            it = core_io.stream_block_summaries_auto(args.blocks)
+            artifact = sp.prove_stream_iter(it, man.root)
+            print(f"Proved (streaming/fold) -> artifact={args.out} stream={stream_path}")
         else:
-            artifact = sp.prove(blocks, man.root)
+            blocks = core_io.read_block_summaries_auto(args.blocks)
+            if args.backend == "stark" and args.stream:
+                artifact = backend.prove_streaming(blocks, man.root)
+            else:
+                artifact = sp.prove(blocks, man.root)
 
     core_io.write_proof_auto(args.out, artifact)
     print(
@@ -147,12 +151,15 @@ def cmd_verify(args) -> int:
 
     backend = _backend_for(args.backend)
     sp = StreamingProver(backend)
-    if args.backend == "fold":
-        it = core_io.stream_block_summaries_auto(args.blocks)
-        sp.verify_stream_iter(artifact, it, man.root)
-    else:
-        blocks = core_io.read_block_summaries_auto(args.blocks)
-        sp.verify(artifact, blocks, man.root)
+    from .utils.tracing import span
+
+    with span("verify", backend=args.backend):
+        if args.backend == "fold":
+            it = core_io.stream_block_summaries_auto(args.blocks)
+            sp.verify_stream_iter(artifact, it, man.root)
+        else:
+            blocks = core_io.read_block_summaries_auto(args.blocks)
+            sp.verify(artifact, blocks, man.root)
     print("OK: proof verified")
     return 0
 

@@ -316,3 +316,11 @@ def prove_wrap_public(p: WrapPublic) -> bytes:
 
 def verify_wrap_public(p: WrapPublic, mac: bytes) -> bool:
     return _wrap_mac(p) == mac
+
+
+def compose_lde_periodic(tc: TraceColumns, a: Alphas, blow_log2: int) -> np.ndarray:
+    """Prototype periodic LDE of the composition (reference: air.rs:139-148).
+
+    Kept for API completeness; the real pipeline uses the DEEP coset LDE."""
+    base = compose_all_rows(tc, a)
+    return np.tile(base, 1 << blow_log2)

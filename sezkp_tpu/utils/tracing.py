@@ -61,3 +61,15 @@ def span(name: str, timings: SpanTimings | None = None, **fields) -> Iterator[No
 
 def global_timings() -> SpanTimings:
     return _GLOBAL
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str) -> Iterator[None]:
+    """Capture an XLA/TPU profiler trace (view with xprof/tensorboard).
+
+    TPU-native replacement for the reference's external `/usr/bin/time`
+    profiling: wraps jax.profiler.trace around a region of interest."""
+    import jax
+
+    with jax.profiler.trace(log_dir):
+        yield

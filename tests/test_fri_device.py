@@ -46,3 +46,30 @@ def test_device_fri_matches_host(lde_vals):
     # and the assembled queries verify
     tr_v = Blake3Transcript("fri-test")
     fri_verify(tr_v, roots_h, got, eng.final_value_le())
+
+
+def test_device_fri_bounded_layers_match_host(lde_vals, monkeypatch):
+    """Exercise the mixed device/host-tail path with several device layers."""
+    import sezkp_tpu.stark.v1.fri_device as FD
+
+    monkeypatch.setattr(FD, "MIN_DEVICE_LAYER_LOG2", 3)
+
+    tr_host = Blake3Transcript("fri-test2")
+    roots_h, layers_h, betas_h = fri_commit(tr_host, lde_vals)
+    trees_h = [layer_tree(l) for l in layers_h]
+
+    tr_dev = Blake3Transcript("fri-test2")
+    eng = FD.DeviceFri(lde_vals)
+    root0 = eng.commit_layer0()
+    tr_dev.absorb(params.DS_FRI_LAYER_ROOT, root0)
+    betas_d = params.derive_betas_for_fri(tr_dev, lde_vals.shape[0].bit_length() - 1)
+    rest = eng.commit_rest(betas_d)
+    assert eng._dev_layers == 4  # 7 - 3
+    assert [root0] + rest == roots_h
+
+    rng = np.random.default_rng(2)
+    rows = [int(r) for r in rng.integers(0, lde_vals.shape[0], 6)]
+    got = eng.open_queries(rows)
+    want = [fri_open_query(layers_h, trees_h, r) for r in rows]
+    for a, b in zip(got, want):
+        assert a.positions == b.positions and a.pairs == b.pairs
