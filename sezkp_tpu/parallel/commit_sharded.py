@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..crypto import blake3 as b3
@@ -45,7 +45,7 @@ def build_sharded_leaf_commit(mesh: Mesh, n: int, prefix: bytes = b""):
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS)),
         out_specs=P(None, None),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(f)
 

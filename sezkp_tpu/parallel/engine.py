@@ -1,0 +1,148 @@
+"""Sharded v1 column-commitment engine: full prove_v1 over a device mesh.
+
+New TPU-native subsystem (SURVEY.md section 2.10; the Rust reference is
+single-threaded per proof — openings.rs builds each column commitment
+sequentially on the CPU). Here the 9*tau+3 trace columns are sharded across
+the mesh's column axis: every device hashes and chunk-commits its local
+subset of columns with the batched BLAKE3 kernel (one shard_map program, all
+collectives on ICI), and the host assembles the outer trees / transcript in
+canonical label order so the proof bytes are identical to the single-chip
+prover (cross-tested in tests/test_parallel.py).
+
+Openings recompute the target chunk on host (O(chunk) work per query), the
+same schedule as StreamingColumnEngine — paths are bit-identical.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import blake3_jax as BJ
+from ..ops import goldilocks as G
+from ..stark.v1 import params
+from ..stark.v1.columns import all_labels
+from ..stark.v1.merkle import MerkleTree, hash_field_leaves_labeled
+from ..stark.v1.openings import _label_prefix
+from ..stark.v1.proof import ColumnRoot, Opening
+from .mesh import AXIS
+
+
+def _sharded_group_commit(mesh: Mesh, plen: int, chunk_log2: int):
+    """Compile: [Cpad, n] column values (sharded over C) -> chunk roots.
+
+    Cpad must divide the mesh. Returns f(lo, hi, prefs) -> uint32
+    [Cpad, n_chunks, 8], sharded over the leading axis.
+    """
+
+    def one_column(lo, hi, pref):
+        cv = BJ.hash_leaves_u64_words(lo, hi, pref, plen)
+        width = 1 << chunk_log2
+        while width > 1:
+            cv = BJ.parent_level(cv)
+            width >>= 1
+        return cv
+
+    def local(lo, hi, prefs):
+        return jax.vmap(one_column)(lo, hi, prefs)
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
+        out_specs=P(AXIS, None, None),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+class ShardedColumnEngine:
+    """Drop-in for :class:`...stark.v1.openings.ColumnEngine` that computes
+    every column's chunked commitment across a `jax.sharding.Mesh`."""
+
+    def __init__(self, tc, mesh: Mesh, chunk_log2: int = params.COL_CHUNK_LOG2):
+        assert tc.n % (1 << chunk_log2) == 0, (
+            "trace length must be a multiple of the column chunk"
+        )
+        self.tc = tc
+        self.mesh = mesh
+        self.chunk_log2 = chunk_log2
+        self.labels = all_labels(tc.tau)
+        self.n_rows = tc.n
+        self._croots: Dict[str, np.ndarray] = {}
+        self._outer: Dict[str, MerkleTree] = {}
+
+    def build_roots(self) -> List[ColumnRoot]:
+        if not self._outer:
+            self._build()
+        return [ColumnRoot(lb, self._outer[lb].root()) for lb in self.labels]
+
+    def _build(self) -> None:
+        d = self.mesh.devices.size
+        n = self.tc.n
+        n_chunks = n >> self.chunk_log2
+        groups: Dict[int, List[str]] = {}
+        for lb in self.labels:
+            groups.setdefault(len(_label_prefix(lb)), []).append(lb)
+        for plen, lbs in groups.items():
+            c = len(lbs)
+            c_pad = -(-c // d) * d
+            v = np.empty((c_pad, n), dtype=np.uint64)
+            prefs = np.zeros((c_pad, 16), dtype=np.uint32)
+            for i, lb in enumerate(lbs):
+                v[i] = self.tc.column_by_label(lb)
+                prefs[i] = BJ._prefix_words(_label_prefix(lb))
+            v[c:] = v[:1]  # padding columns (results dropped)
+            prefs[c:] = prefs[:1]
+            lo = jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+            hi = jnp.asarray((v >> np.uint64(32)).astype(np.uint32))
+            f = _sharded_group_commit(self.mesh, plen, self.chunk_log2)
+            roots = np.asarray(jax.device_get(f(lo, hi, jnp.asarray(prefs))))
+            for i, lb in enumerate(lbs):
+                croots = (
+                    np.ascontiguousarray(roots[i].astype("<u4"))
+                    .view(np.uint8)
+                    .reshape(n_chunks, 32)
+                )
+                self._croots[lb] = croots
+                self._outer[lb] = MerkleTree.from_leaves(croots)
+
+    def open_batch(self, requests) -> List[Opening]:
+        return [self.open(lb, r) for lb, r in requests]
+
+    def open(self, label: str, row_idx: int) -> Opening:
+        if not self._outer:
+            self._build()
+        chunk = 1 << self.chunk_log2
+        ci = row_idx // chunk
+        ii = row_idx - ci * chunk
+        vals = self.tc.column_by_label(label)[ci * chunk : (ci + 1) * chunk]
+        leaves = hash_field_leaves_labeled(G.to_le_bytes(vals), label)
+        inner = MerkleTree.from_leaves(leaves)
+        return Opening(
+            value_le=G.to_le_bytes(vals[ii]).tobytes(),
+            index=row_idx,
+            chunk_index=ci,
+            index_in_chunk=ii,
+            chunk_root=inner.root(),
+            path_in_chunk=inner.open(ii),
+            path_to_chunk=self._outer[label].open(ci),
+        )
+
+
+def prove_v1_sharded(blocks, manifest_root: bytes, mesh: Mesh):
+    """Full v1 proof with column commitments computed across the mesh.
+
+    Byte-identical to the single-chip `prove_v1` (same transcript schedule,
+    same roots/paths); only the commitment compute is distributed."""
+    from ..stark.v1.columns import TraceColumns
+    from ..stark.v1.prover import prove_v1
+
+    tc = TraceColumns.build(blocks)
+    eng = ShardedColumnEngine(tc, mesh)
+    return prove_v1(blocks, manifest_root, engine=eng, tc=tc)

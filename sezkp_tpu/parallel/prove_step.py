@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import blake3_jax as BJ
@@ -203,6 +203,6 @@ def build_prove_step(mesh: Mesh, base_log2: int, blow_log2: int = 3):
             (P(AXIS, None), P(AXIS, None)),
             P(None, None),
         ),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(f)

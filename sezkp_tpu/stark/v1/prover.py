@@ -115,11 +115,19 @@ def _deep_lde(base_vals: np.ndarray, blow_log2: int, shift: int, z: int) -> np.n
 
 
 def prove_v1(
-    blocks: Sequence[BlockSummary], manifest_root: bytes, streaming: bool = False
+    blocks: Sequence[BlockSummary],
+    manifest_root: bytes,
+    streaming: bool = False,
+    engine=None,
+    tc=None,
 ) -> ProofV1:
     """Produce a v1 proof. `streaming=True` selects the O(chunk)-memory
     column engine (recompute-on-open) — same proof bytes, different memory
-    schedule (reference: StarkV1::prove_streaming, lib.rs:170-191)."""
+    schedule (reference: StarkV1::prove_streaming, lib.rs:170-191).
+
+    `engine` injects a custom column-commitment engine (e.g. the sharded
+    multi-chip one, parallel/engine.py); `tc` optionally supplies the host
+    TraceColumns alongside it to avoid rebuilding them."""
     n = sum(b.n_steps for b in blocks)
     tau = blocks[0].tau if blocks else 0
     assert n & (n - 1) == 0 and n > 0, "trace length must be a power of two"
@@ -127,14 +135,13 @@ def prove_v1(
     # Fully device-resident pipeline: columns derived from the raw movement
     # logs on device, hashed/committed/composed/LDE'd/FRI'd there; only the
     # logs go up and roots/paths come back.
-    device_pipeline = not streaming and _use_device_cols(n)
+    device_pipeline = engine is None and not streaming and _use_device_cols(n)
     dc = None
-    tc = None
     if device_pipeline:
         from .columns_device import DeviceColumns
 
         dc = DeviceColumns(blocks)
-    else:
+    elif tc is None:
         tc = TraceColumns.build(blocks)
 
     tr = Blake3Transcript(params.DS_V1_DOMAIN)
@@ -143,12 +150,13 @@ def prove_v1(
     tr.absorb_u64("tau", tau)
 
     # ---- column commitments (batched; streaming = chunked recompute) ----
-    if streaming:
-        from .openings import StreamingColumnEngine
+    if engine is None:
+        if streaming:
+            from .openings import StreamingColumnEngine
 
-        engine = StreamingColumnEngine(blocks, params.COL_CHUNK_LOG2)
-    else:
-        engine = ColumnEngine(tc, params.COL_CHUNK_LOG2, dc=dc)
+            engine = StreamingColumnEngine(blocks, params.COL_CHUNK_LOG2)
+        else:
+            engine = ColumnEngine(tc, params.COL_CHUNK_LOG2, dc=dc)
     col_roots = engine.build_roots()
     tr.absorb_u64(params.DS_N_COLS, len(col_roots))
     for cr in col_roots:

@@ -140,3 +140,43 @@ def test_sharded_ingest_matches_sequential(tmp_path):
     for hosts in (1, 2, 3, 5):
         sh = commit_block_file_sharded(path, n_hosts=hosts)
         assert sh.root == seq.root and sh.n_leaves == seq.n_leaves
+
+
+@needs_8
+def test_sharded_prove_v1_matches_single_chip(mesh8):
+    """Full proof bytes from the mesh-sharded column engine == host prover."""
+    from test_stark_v1 import MANIFEST, demo_blocks
+
+    from sezkp_tpu.parallel.engine import prove_v1_sharded
+    from sezkp_tpu.stark.v1.proof import encode_proof
+    from sezkp_tpu.stark.v1.prover import prove_v1
+    from sezkp_tpu.stark.v1.verify import verify_v1
+
+    blocks = demo_blocks(4, 1024, tau=2)  # n = 4096 -> 4 column chunks
+    host = prove_v1(blocks, MANIFEST)
+    shard = prove_v1_sharded(blocks, MANIFEST, mesh8)
+    assert encode_proof(shard) == encode_proof(host)
+    verify_v1(shard, blocks)
+
+
+@needs_8
+def test_sharded_column_engine_roots_and_opens(mesh8):
+    from test_stark_v1 import demo_blocks
+
+    from sezkp_tpu.parallel.engine import ShardedColumnEngine
+    from sezkp_tpu.stark.v1 import params
+    from sezkp_tpu.stark.v1.columns import TraceColumns
+    from sezkp_tpu.stark.v1.openings import ColumnEngine
+
+    blocks = demo_blocks(2, 1024, tau=1)
+    tc = TraceColumns.build(blocks)
+    ref = ColumnEngine(tc, params.COL_CHUNK_LOG2)
+    eng = ShardedColumnEngine(tc, mesh8)
+    assert [
+        (r.label, r.root) for r in eng.build_roots()
+    ] == [(r.label, r.root) for r in ref.build_roots()]
+    for lb, row in [("mv_0", 0), ("head_0", 1025), ("is_last", 2047)]:
+        a, b = eng.open(lb, row), ref.open(lb, row)
+        assert (a.value_le, a.chunk_root, a.path_in_chunk, a.path_to_chunk) == (
+            b.value_le, b.chunk_root, b.path_in_chunk, b.path_to_chunk
+        )
