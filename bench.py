@@ -5,6 +5,11 @@ Metric: forward NTT throughput on the flagship TPU kernel at n = 2^20
 crates/sezkp-ffts/benches/ntt.rs measures the same transform in
 elements/sec).
 
+Timing is amortized over a chain of CHAIN dependent transforms inside one
+jit, so it measures the kernel itself rather than per-dispatch overhead
+(~1.5 ms through this image's TPU tunnel) — the prover launches many NTTs
+per dispatch, so the amortized number is the one that matters end-to-end.
+
 vs_baseline: ratio against an estimated 2.0 Mpts/s for the reference's
 single-core Rust NTT at this size. The reference publishes no absolute
 numbers (BASELINE.md); its `mul_raw` reduces via `u128 %` (a ~25-40 ns div
@@ -22,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_PTS_PER_SEC = 2.0e6
 K = 20
+CHAIN = 8
 
 
 def main() -> None:
@@ -39,21 +45,28 @@ def main() -> None:
     lo = jax.device_put(lo)
     hi = jax.device_put(hi)
 
-    from sezkp_tpu.ops import ntt_pallas as NP
-
     if jax.default_backend() == "tpu":
-        f = NP._build(min(10, K // 2), K - min(10, K // 2), False)
+        from sezkp_tpu.ops import ntt_mxu as NM
+
+        f = NM._build(K, False)
     else:
         f = NJ._jit_ntt(K, False)
-    out = f(lo, hi)
+
+    @jax.jit
+    def chained(lo, hi):
+        for _ in range(CHAIN):
+            lo, hi = f(lo, hi)
+        return lo, hi
+
+    out = chained(lo, hi)
     jax.block_until_ready(out)  # compile + warm
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = f(lo, hi)
+        out = chained(lo, hi)
     jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / (iters * CHAIN)
 
     pts_per_sec = n / dt
     print(

@@ -226,6 +226,26 @@ def inverse_ntt_u64(a: np.ndarray) -> np.ndarray:
 # ---------------------- fused DEEP coset LDE (Pallas NTTs) ------------------
 
 
+def _fwd(a: FJ.F2) -> FJ.F2:
+    """Size-dispatched forward NTT: MXU int8-matmul kernel for large n
+    (bit-identical outputs), roll-based four-step otherwise."""
+    from . import ntt_mxu
+
+    n = int(a[0].shape[0])
+    if n >= (1 << ntt_mxu.MIN_LOG2):
+        return ntt_mxu.forward_ntt(a)
+    return forward_ntt(a)
+
+
+def _inv(a: FJ.F2) -> FJ.F2:
+    from . import ntt_mxu
+
+    n = int(a[0].shape[0])
+    if n >= (1 << ntt_mxu.MIN_LOG2):
+        return ntt_mxu.inverse_ntt(a)
+    return inverse_ntt(a)
+
+
 @lru_cache(maxsize=8)
 def _deep_lde_glue(base_log2: int, lde_log2: int, shift: int):
     """Coset scale + zero-pad + DEEP divide around the two Pallas NTTs."""
@@ -266,10 +286,10 @@ def deep_coset_lde_u64(
     assert 1 << base_log2 == n_base
     lde_log2 = base_log2 + blow_log2
     b = FJ.pack(np.asarray(base_evals, dtype=np.uint64))
-    coeffs = inverse_ntt((jnp.asarray(b[0]), jnp.asarray(b[1])))
+    coeffs = _inv((jnp.asarray(b[0]), jnp.asarray(b[1])))
     scale_pad, deep_divide = _deep_lde_glue(base_log2, lde_log2, shift)
     padded = scale_pad(coeffs[0], coeffs[1])
-    y = forward_ntt(padded)
+    y = _fwd(padded)
     zp = FJ.pack(np.uint64(z))
     out = deep_divide(y[0], y[1], zp[0], zp[1])
     return FJ.unpack((np.asarray(out[0]), np.asarray(out[1])))
@@ -283,9 +303,9 @@ def deep_coset_lde_planes(base_planes, blow_log2: int, shift: int, z: int):
     base_log2 = n_base.bit_length() - 1
     assert 1 << base_log2 == n_base
     lde_log2 = base_log2 + blow_log2
-    coeffs = inverse_ntt((lo, hi))
+    coeffs = _inv((lo, hi))
     scale_pad, deep_divide = _deep_lde_glue(base_log2, lde_log2, shift)
     padded = scale_pad(coeffs[0], coeffs[1])
-    y = forward_ntt(padded)
+    y = _fwd(padded)
     zp = FJ.pack(np.uint64(z))
     return deep_divide(y[0], y[1], zp[0], zp[1])

@@ -1,0 +1,67 @@
+"""MXU int8-matmul NTT vs host oracle (interpret mode on CPU).
+
+The DFT-as-limb-matmul kernel must be bit-identical to ops/ntt (and hence
+to the reference transform, crates/sezkp-ffts/src/ntt.rs:79-177) at every
+size and factorization."""
+
+import numpy as np
+import pytest
+
+from sezkp_tpu.ops import goldilocks as G
+from sezkp_tpu.ops import ntt as N
+from sezkp_tpu.ops import ntt_mxu as M
+
+
+@pytest.mark.parametrize("k", [14, 15])
+def test_mxu_forward_matches_host(k):
+    rng = np.random.default_rng(k)
+    a = rng.integers(0, int(G.P), 1 << k, dtype=np.uint64)
+    assert np.array_equal(M.forward_ntt_u64(a), N.forward_ntt(a))
+
+
+@pytest.mark.parametrize("k", [14, 15])
+def test_mxu_inverse_matches_host(k):
+    rng = np.random.default_rng(k)
+    a = rng.integers(0, int(G.P), 1 << k, dtype=np.uint64)
+    assert np.array_equal(M.inverse_ntt_u64(a), N.inverse_ntt(a))
+
+
+def test_mxu_three_factor_matches_host():
+    """2^18 uses the three-phase path (two twiddle stages)."""
+    rng = np.random.default_rng(18)
+    a = rng.integers(0, int(G.P), 1 << 18, dtype=np.uint64)
+    assert np.array_equal(M.forward_ntt_u64(a), N.forward_ntt(a))
+
+
+def test_mxu_roundtrip():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, int(G.P), 1 << 14, dtype=np.uint64)
+    assert np.array_equal(M.inverse_ntt_u64(M.forward_ntt_u64(a)), a)
+
+
+def test_mxu_small_sizes_delegate():
+    """Below MIN_LOG2 the roll-based kernel serves the same API."""
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, int(G.P), 1 << 8, dtype=np.uint64)
+    assert np.array_equal(M.forward_ntt_u64(a), N.forward_ntt(a))
+
+
+def test_recombine_edge_values():
+    """Recombination handles extreme digit products (all-max operands)."""
+    import jax.numpy as jnp
+
+    # worst case for the diagonal bounds: x = w = p-1 everywhere, m = 1024
+    m = 1024
+    x = np.full(m, int(G.P) - 1, dtype=np.uint64)
+    dig = [(int(x[0]) >> (7 * k)) & 127 for k in range(M.NDIG)]
+    diags = []
+    for d in range(M.DIAGS):
+        s = sum(
+            dig[i] * dig[d - i] for i in range(M.NDIG) if 0 <= d - i < M.NDIG
+        )
+        diags.append(jnp.full((4, 4), np.uint32(s * m)))
+        assert s * m < 2**31
+    lo, hi = M._recombine(diags)
+    want = (int(x[0]) * int(x[0]) % int(G.P)) * m % int(G.P)
+    got = int(np.asarray(lo)[0, 0]) | (int(np.asarray(hi)[0, 0]) << 32)
+    assert got == want
