@@ -77,8 +77,17 @@ class TraceColumns:
             mv[:, sl] = G.from_i64(tmv)
             write_flag[:, sl] = ml.write_flag.T.astype(np.uint64)
             write_sym[:, sl] = ml.write_sym.T.astype(np.uint64)
-            # move-then-write: head is post-move, relative to window-left=0 entry
-            head[:, sl] = G.from_i64(np.cumsum(tmv, axis=1))
+            # move-then-write: head is post-move, relative to WINDOW-LEFT
+            # (entry sits at off_in). Deliberate fix vs the reference:
+            # columns.rs:298-315 anchors head at the entry position, which
+            # contradicts its own AIR (air.rs:119-136 boundary terms and the
+            # head/slack range checks both assume window-left anchoring), so
+            # reference-honest proofs fail verification whenever a query row
+            # lands in a block whose window extends left of the entry. See
+            # docs/parity.md.
+            head[:, sl] = G.from_i64(
+                np.cumsum(tmv, axis=1) + b.head_in_offsets.astype(np.int64)[:, None]
+            )
             wl = (np.abs(b.windows[:, 1] - b.windows[:, 0]) + 1).astype(np.uint64)
             win_len[:, sl] = wl[:, None]
             in_off[:, sl] = b.head_in_offsets.astype(np.uint64)[:, None]

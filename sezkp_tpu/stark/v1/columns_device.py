@@ -103,12 +103,16 @@ def _jit_columns(n: int, tau: int, nb: int):
         cols_lo.append(is_last.astype(jnp.uint32)); cols_hi.append(jnp.zeros(n, jnp.uint32))
 
         tmv32 = tape_mv.astype(jnp.int32)  # [n, tau]
-        # heads: global cumsum minus cumsum at block entry
+        # heads: global cumsum minus cumsum at block entry, anchored at
+        # window-left (entry = off_in; see columns.py for the deliberate
+        # deviation from the reference's entry-anchored heads)
         csum = jnp.cumsum(tmv32, axis=0)  # [n, tau] (n < 2^31 safe)
         start_csum_rows = jnp.concatenate(
             [jnp.zeros((1, tau), jnp.int32), csum[block_start[1:] - 1]]
         ) if nb > 1 else jnp.zeros((1, tau), jnp.int32)
-        head_rel = csum - start_csum_rows[block_of]  # [n, tau]
+        head_rel = (
+            csum - start_csum_rows[block_of] + in_off.astype(jnp.int32)[block_of]
+        )  # [n, tau]
 
         per_tape = {"mv": [], "wflag": [], "wsym": [], "head": [], "winlen": [],
                     "in_off": [], "out_off": []}

@@ -34,7 +34,11 @@ def block_column_matrix(b: BlockSummary) -> np.ndarray:
     base += tau
     out[base : base + tau] = ml.write_sym.T.astype(np.uint64)
     base += tau
-    out[base : base + tau] = G.from_i64(np.cumsum(tmv, axis=1))
+    # head anchored at window-left (entry = off_in); see columns.py for the
+    # deliberate deviation from the reference's entry-anchored heads.
+    out[base : base + tau] = G.from_i64(
+        np.cumsum(tmv, axis=1) + b.head_in_offsets.astype(np.int64)[:, None]
+    )
     base += tau
     wl = (np.abs(b.windows[:, 1] - b.windows[:, 0]) + 1).astype(np.uint64)
     out[base : base + tau] = wl[:, None]

@@ -158,3 +158,40 @@ def test_column_head_semantics_post_move():
     tc = TraceColumns.build(blocks)
     mv = blocks[0].movement_log.tape_mv[:, 0].astype(np.int64)
     assert np.array_equal(tc.head[0], G.from_i64(np.cumsum(mv)))
+
+
+def test_v1_unanchored_windows_prove_and_verify():
+    """Honest generator traces whose windows extend LEFT of the block entry
+    (off_in > 0) must verify — regression for the reference's head-anchoring
+    bug (columns.rs:298-315 anchors head at entry; the AIR boundary terms
+    air.rs:119-136 assume window-left anchoring, so the reference rejects
+    its own honest proofs when a query row hits such a block's boundary row;
+    see docs/parity.md #2). Config chosen so boundary rows make up 1/16 of
+    the domain — a 30-query draw hits one with p ~ 0.86."""
+    from sezkp_tpu.commit.merkle import commit_blocks
+    from sezkp_tpu.trace.generator import generate_trace
+    from sezkp_tpu.trace.partition import partition_trace
+
+    blocks = partition_trace(generate_trace(1024, 8), 32)
+    assert any(int(b.head_in_offsets.max()) > 0 for b in blocks)
+    man = commit_blocks(blocks)
+    art = StarkV1.prove(blocks, man.root)
+    StarkV1.verify(art, blocks, man.root)
+
+
+def test_v1_composition_vanishes_on_honest_trace():
+    """The full composition (row + boundary terms) must be identically zero
+    on every row of an honest trace — the verifier's query check
+    (verify.rs:178-180) demands it pointwise."""
+    import numpy as np
+
+    from sezkp_tpu.stark.v1 import air
+    from sezkp_tpu.stark.v1.columns import TraceColumns
+    from sezkp_tpu.trace.generator import generate_trace
+    from sezkp_tpu.trace.partition import partition_trace
+
+    blocks = partition_trace(generate_trace(2048, 4), 64)
+    tc = TraceColumns.build(blocks)
+    alphas = air.Alphas.from_list(list(range(3, 11)))
+    acc = air.compose_all_rows(tc, alphas)
+    assert not np.any(acc), f"nonzero at rows {np.nonzero(acc)[0][:5]}"
