@@ -79,8 +79,15 @@ def compress_batch(m, block_len: int, flags: int, out_words: int = 8):
     The 7 rounds run under lax.fori_loop with a gather-permutation of the
     message schedule — unrolling them trips an exponential-time XLA:CPU
     compile pathology (TPU compiles either form fine).
+
+    On TPU, large batches dispatch to the Pallas kernel (blake3_pallas.py):
+    fully unrolled rounds in VMEM, one HBM pass — ~50x this staged path.
     """
     n = m.shape[0]
+    if n >= 1024 and jax.default_backend() == "tpu":
+        from . import blake3_pallas
+
+        return blake3_pallas.compress_rows(m, block_len, flags, out_words)
     iv_rows = jnp.broadcast_to(jnp.asarray(IV, U32)[:, None], (8, n))
     tail = jnp.stack(
         [

@@ -1,0 +1,147 @@
+"""Pallas BLAKE3 single-block compression for TPU.
+
+The XLA kernel in :mod:`blake3_jax` runs the 7 rounds under `lax.fori_loop`
+with a gather-permuted message schedule; each round materializes the 32
+state/message planes through HBM, so at production batch sizes it is
+bandwidth-bound ~40 ns/hash — two orders of magnitude off the VPU roofline
+(~1.3k u32 ops/hash over a ~4 Tops/s vector unit).
+
+This kernel keeps the whole compression in VMEM/vector registers:
+
+- word-major layout: message words as uint32 [16, R, 128] planes, so every
+  state variable is a full (tile_r, 128) vreg tile (lanes = batch);
+- the 7 rounds and 8 G-functions are fully unrolled, and the per-round
+  message schedule is applied by statically permuting a Python list — no
+  gathers, no loop-carried layout changes;
+- one HBM read of the 16 message planes and one write of the 8 (or 16)
+  output planes per batch element: 64-96 B/hash vs ~1.8 kB/hash for the
+  staged XLA path.
+
+Used by blake3_jax.compress_batch on TPU backends (same [N, 16] -> [N, out]
+row-major contract; transposes at the boundary fuse into the surrounding
+producers). Semantics are identical to the reference hasher (single-block
+messages, counter 0, CHUNK_START|CHUNK_END|ROOT — crypto/blake3_py.py is the
+oracle; reference usage crates/sezkp-merkle/src/lib.rs:85-133,
+crates/sezkp-stark/src/v1/merkle.rs:132-159). Bit-exactness is enforced by
+tests/test_blake3_jax.py against the host implementation.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+U32 = jnp.uint32
+
+IV = np.array(
+    [0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
+     0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19],
+    dtype=np.uint32,
+)
+
+MSG_PERM = [2, 6, 3, 10, 7, 0, 4, 13, 1, 11, 12, 5, 9, 14, 15, 8]
+
+# lanes per tile row is fixed at 128; tile_r rows => tile_r*128 hashes/tile.
+TILE_R = 64
+
+_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _rotr(x, n: int):
+    return (x >> n) | (x << (32 - n))
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@lru_cache(maxsize=32)
+def _build(block_len: int, flags: int, out_words: int, tile_r: int, interpret: bool):
+    """pallas_call over [16, R, 128] message planes -> [out_words, R, 128]."""
+
+    def kernel(m_ref, o_ref):
+        msg = [m_ref[i] for i in range(16)]
+        shape = msg[0].shape
+
+        def c(x):
+            return jnp.full(shape, np.uint32(x), U32)
+
+        v = [c(IV[j]) for j in range(8)] + [
+            c(IV[0]), c(IV[1]), c(IV[2]), c(IV[3]),
+            c(0), c(0), c(block_len), c(flags),
+        ]
+
+        def g(a, b, cc, d, mx, my):
+            v[a] = v[a] + v[b] + mx
+            v[d] = _rotr(v[d] ^ v[a], 16)
+            v[cc] = v[cc] + v[d]
+            v[b] = _rotr(v[b] ^ v[cc], 12)
+            v[a] = v[a] + v[b] + my
+            v[d] = _rotr(v[d] ^ v[a], 8)
+            v[cc] = v[cc] + v[d]
+            v[b] = _rotr(v[b] ^ v[cc], 7)
+
+        for _r in range(7):
+            g(0, 4, 8, 12, msg[0], msg[1])
+            g(1, 5, 9, 13, msg[2], msg[3])
+            g(2, 6, 10, 14, msg[4], msg[5])
+            g(3, 7, 11, 15, msg[6], msg[7])
+            g(0, 5, 10, 15, msg[8], msg[9])
+            g(1, 6, 11, 12, msg[10], msg[11])
+            g(2, 7, 8, 13, msg[12], msg[13])
+            g(3, 4, 9, 14, msg[14], msg[15])
+            msg = [msg[p] for p in MSG_PERM]
+
+        for i in range(8):
+            o_ref[i] = v[i] ^ v[i + 8]
+        if out_words == 16:
+            for i in range(8):
+                o_ref[8 + i] = v[8 + i] ^ c(IV[i])
+
+    def f(m3):  # [16, R, 128]
+        r = m3.shape[1]
+        return pl.pallas_call(
+            kernel,
+            grid=(r // tile_r,),
+            in_specs=[
+                pl.BlockSpec((16, tile_r, 128), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec((out_words, tile_r, 128), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((out_words, r, 128), U32),
+            compiler_params=_params,
+            interpret=interpret,
+        )(m3)
+
+    return f
+
+
+def compress_planes(m16, block_len: int, flags: int, out_words: int = 8,
+                    interpret: bool | None = None):
+    """Word-major compression: uint32 [16, N] -> [out_words, N].
+
+    N is padded internally to a tile multiple; block_len/flags are static.
+    """
+    n = m16.shape[1]
+    if interpret is None:
+        interpret = _interpret()
+    tile_r = min(TILE_R, max(1, -(-n // 128)))
+    width = tile_r * 128
+    n_pad = -(-n // width) * width
+    if n_pad != n:
+        m16 = jnp.pad(m16, ((0, 0), (0, n_pad - n)))
+    m3 = m16.reshape(16, n_pad // 128, 128)
+    out3 = _build(block_len, flags, out_words, tile_r, interpret)(m3)
+    return out3.reshape(out_words, n_pad)[:, :n]
+
+
+def compress_rows(m, block_len: int, flags: int, out_words: int = 8,
+                  interpret: bool | None = None):
+    """Row-major adapter matching blake3_jax.compress_batch: [N, 16] -> [N, out]."""
+    return compress_planes(m.T, block_len, flags, out_words, interpret).T

@@ -51,3 +51,22 @@ def test_frontier_matches_batch_at_all_sizes(vals, n):
     fr2 = Frontier()
     fr2.push_leaves(leaves)
     assert fr2.finalize_root() == merkle_root_leaves(leaves)
+
+
+@pytest.mark.parametrize("n,blen,out_words", [
+    (1, 64, 8), (5, 33, 8), (128, 64, 16), (1000, 48, 8), (4096, 64, 8),
+])
+def test_pallas_compress_matches_xla(n, blen, out_words):
+    """The Pallas VMEM-resident compression (TPU hot path) must be
+    bit-identical to the staged XLA kernel (and hence the host oracle).
+    Runs in interpret mode off-TPU."""
+    import jax.numpy as jnp
+
+    from sezkp_tpu.ops import blake3_pallas as BP
+
+    rng = np.random.default_rng(7)
+    m = rng.integers(0, 2**32, (n, 16), dtype=np.uint32)
+    flags = int(BJ.CHUNK_START | BJ.CHUNK_END | BJ.ROOT)
+    a = np.asarray(BJ.compress_batch(jnp.asarray(m), blen, flags, out_words))
+    b = np.asarray(BP.compress_rows(jnp.asarray(m), blen, flags, out_words))
+    assert np.array_equal(a, b)
