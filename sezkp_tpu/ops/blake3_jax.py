@@ -403,8 +403,10 @@ def _jit_chunk_paths(chunk_log2: int, bucket: int):
     Builds each chunk's tree level-by-level (vmapped) and gathers the sibling
     node along the way — only the paths travel back to the host."""
 
-    def f(leaves, idx):
-        cur = leaves  # [K, m, 8]
+    def f(leaves_flat, starts, idx):
+        chunk = 1 << chunk_log2
+        offs = starts[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        cur = leaves_flat[offs.reshape(-1)].reshape(bucket, chunk, 8)  # [K, m, 8]
         cur_idx = idx
         paths = []
         m = 1 << chunk_log2
@@ -437,10 +439,10 @@ def chunk_paths_device(leaves_dev, chunk_starts, idx_in_chunk, chunk_log2: int):
     idxs = np.zeros(bucket, dtype=np.uint32)
     idxs[:k] = np.asarray(idx_in_chunk, dtype=np.uint32)
 
-    # Gather the K chunks' leaves on device: [bucket, chunk, 8]
-    offs = jnp.asarray(starts)[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :]
-    sel = leaves_dev[offs.reshape(-1)].reshape(bucket, chunk, 8)
-    paths, roots = _jit_chunk_paths(chunk_log2, bucket)(sel, jnp.asarray(idxs))
+    # The K chunks' leaf gather happens inside the jit (fused with the tree).
+    paths, roots = _jit_chunk_paths(chunk_log2, bucket)(
+        leaves_dev, jnp.asarray(starts), jnp.asarray(idxs)
+    )
     paths_np, roots_np = jax.device_get((paths, roots))
     paths8 = (
         np.ascontiguousarray(paths_np, dtype="<u4")
@@ -455,17 +457,40 @@ def chunk_paths_device(leaves_dev, chunk_starts, idx_in_chunk, chunk_log2: int):
 
 
 
-def columns_commit_from_planes(lo, hi, prefixes, chunk_log2: int):
+@lru_cache(maxsize=8)
+def _jit_columns_commit_gather(plen: int, n_cols: int, chunk_log2: int):
+    """Like _jit_columns_commit but gathers the column rows from the full
+    [C_all, n] planes inside the jit (idx int32 [n_cols]) so the row
+    selection fuses into the hash producers instead of costing an eager
+    HBM copy per prefix group."""
+    inner = _jit_columns_commit(plen, n_cols, chunk_log2)
+
+    def f(lo_all, hi_all, idx, prefs):
+        return inner(lo_all[idx], hi_all[idx], prefs)
+
+    return jax.jit(f)
+
+
+def columns_commit_from_planes(lo, hi, prefixes, chunk_log2: int, idx=None):
     """columns_commit_device for DEVICE-RESIDENT [C, n] u32 planes.
 
+    `idx` (optional int array [C']) selects rows of lo/hi on device inside
+    the jitted program (fused gather); without it lo/hi are used as-is.
     Returns (leaf CVs jnp [C, n, 8] resident, chunk_roots uint8 [C, nc, 32])."""
-    c, n = lo.shape
+    c = len(prefixes) if idx is not None else lo.shape[0]
+    n = lo.shape[1]
     assert n % (1 << chunk_log2) == 0
     plens = {len(p) for p in prefixes}
     assert len(plens) == 1
     plen = plens.pop()
     prefs = jnp.asarray(np.stack([_prefix_words(p) for p in prefixes]))
-    cvs, roots = _jit_columns_commit(plen, c, chunk_log2)(lo, hi, prefs)
+    if idx is not None:
+        idx = jnp.asarray(np.asarray(idx, dtype=np.int32))
+        cvs, roots = _jit_columns_commit_gather(plen, c, chunk_log2)(
+            lo, hi, idx, prefs
+        )
+    else:
+        cvs, roots = _jit_columns_commit(plen, c, chunk_log2)(lo, hi, prefs)
     roots_np = jax.device_get(roots)
     n_chunks = n >> chunk_log2
     croots = (

@@ -91,11 +91,9 @@ class ColumnEngine:
         for _plen, lbs in groups.items():
             prefixes = [_label_prefix(lb) for lb in lbs]
             if self._dc is not None:
-                idx = jnp.asarray(
-                    np.array([self._dc.labels.index(lb) for lb in lbs], np.int32)
-                )
+                idx = np.array([self._dc.labels.index(lb) for lb in lbs], np.int32)
                 cvs, croots = blake3_jax.columns_commit_from_planes(
-                    self._dc.lo[idx], self._dc.hi[idx], prefixes, self.chunk_log2
+                    self._dc.lo, self._dc.hi, prefixes, self.chunk_log2, idx=idx
                 )
             else:
                 vals = np.stack([self.tc.column_by_label(lb) for lb in lbs])
