@@ -1,6 +1,6 @@
 """Benchmark entry point: prints ONE JSON line for the driver.
 
-Metric: forward NTT throughput on the flagship TPU kernel at n = 2^20
+Metric: forward NTT throughput on the flagship TPU kernel at n = 2^24
 (the prime cost driver of STARK v1 proving; reference microbench:
 crates/sezkp-ffts/benches/ntt.rs measures the same transform in
 elements/sec).
@@ -26,8 +26,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_PTS_PER_SEC = 2.0e6
-K = 20
-CHAIN = 8
+K = 24
+CHAIN = 4
 
 
 def main() -> None:
@@ -61,7 +61,7 @@ def main() -> None:
     out = chained(lo, hi)
     jax.block_until_ready(out)  # compile + warm
 
-    iters = 10
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         out = chained(lo, hi)
