@@ -19,7 +19,47 @@ plus helpers. Schema-specific encoding lives next to each dataclass.
 from __future__ import annotations
 
 import struct
-from typing import Any
+from typing import Any, Optional
+
+
+def _load_native():
+    """Load (building if needed) the C decoder extension; None on failure.
+
+    The extension handles every encoding the pure-Python decoder does except
+    tags (major type 6), for which it raises UnsupportedError and the caller
+    falls back to the Python path for that value."""
+    import importlib.machinery
+    import importlib.util
+    import os
+    import subprocess
+
+    native_dir = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "native")
+    )
+    so_path = os.path.join(native_dir, "sezkp_cbor_c.so")
+    if not os.path.exists(so_path):
+        try:
+            subprocess.run(
+                ["make", "-C", native_dir, "-s", "sezkp_cbor_c.so"],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        loader = importlib.machinery.ExtensionFileLoader("sezkp_cbor_c", so_path)
+        spec = importlib.util.spec_from_file_location(
+            "sezkp_cbor_c", so_path, loader=loader
+        )
+        mod = importlib.util.module_from_spec(spec)
+        loader.exec_module(mod)
+        return mod
+    except Exception:
+        return None
+
+
+_native: Optional[Any] = _load_native()
 
 __all__ = [
     "dumps",
@@ -162,6 +202,15 @@ class CBORDecoder:
         raise ValueError(f"CBOR: unsupported additional info {info}")
 
     def decode(self) -> Any:
+        if _native is not None:
+            try:
+                v, self.pos = _native.decode_at(self.data, self.pos)
+                return v
+            except _native.UnsupportedError:
+                pass  # tagged value: decode this one via the Python path
+        return self._decode_py()
+
+    def _decode_py(self) -> Any:
         ib = self._read(1)[0]
         major, info = ib >> 5, ib & 0x1F
         if major == 0:
