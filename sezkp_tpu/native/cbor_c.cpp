@@ -282,6 +282,194 @@ done:
   return result;
 }
 
+// ----------------------------- encoder -------------------------------------
+//
+// Mirrors utils/cbor.py::encode_into (ciborium-compatible conventions,
+// dict insertion order). Anything outside the core value model — Tagged
+// values (unless registered via set_tagged_class), u64 overflow, unknown
+// types, excessive nesting — raises UnsupportedError so the Python
+// implementation takes over and produces its exact error/bytes.
+
+static PyObject *TaggedClass;  // set via set_tagged_class
+
+struct Enc {
+  char *buf;
+  size_t len, cap;
+  int depth;
+};
+
+static int enc_reserve(Enc *e, size_t extra) {
+  if (e->len + extra <= e->cap) return 1;
+  size_t cap = e->cap ? e->cap : 256;
+  while (cap < e->len + extra) cap *= 2;
+  char *nb = (char *)PyMem_Realloc(e->buf, cap);
+  if (!nb) {
+    PyErr_NoMemory();
+    return 0;
+  }
+  e->buf = nb;
+  e->cap = cap;
+  return 1;
+}
+
+static int enc_bytes(Enc *e, const void *p, size_t n) {
+  if (!enc_reserve(e, n)) return 0;
+  memcpy(e->buf + e->len, p, n);
+  e->len += n;
+  return 1;
+}
+
+static int enc_byte(Enc *e, unsigned char b) { return enc_bytes(e, &b, 1); }
+
+static int enc_head(Enc *e, unsigned major, uint64_t v) {
+  unsigned char h[9];
+  size_t k;
+  if (v < 24) {
+    h[0] = (unsigned char)((major << 5) | v);
+    k = 1;
+  } else if (v < 0x100) {
+    h[0] = (unsigned char)((major << 5) | 24);
+    h[1] = (unsigned char)v;
+    k = 2;
+  } else if (v < 0x10000) {
+    h[0] = (unsigned char)((major << 5) | 25);
+    h[1] = (unsigned char)(v >> 8);
+    h[2] = (unsigned char)v;
+    k = 3;
+  } else if (v < 0x100000000ULL) {
+    h[0] = (unsigned char)((major << 5) | 26);
+    for (int i = 0; i < 4; i++) h[1 + i] = (unsigned char)(v >> (24 - 8 * i));
+    k = 5;
+  } else {
+    h[0] = (unsigned char)((major << 5) | 27);
+    for (int i = 0; i < 8; i++) h[1 + i] = (unsigned char)(v >> (56 - 8 * i));
+    k = 9;
+  }
+  return enc_bytes(e, h, k);
+}
+
+static int unsupported(const char *msg) {
+  PyErr_SetString(UnsupportedError, msg);
+  return 0;
+}
+
+static int encode_obj(Enc *e, PyObject *obj) {
+  if (++e->depth > 512) {
+    e->depth--;
+    return unsupported("CBOR: nesting too deep (python fallback)");
+  }
+  int ok = 0;
+  if (obj == Py_None) {
+    ok = enc_byte(e, 0xF6);
+  } else if (obj == Py_True) {
+    ok = enc_byte(e, 0xF5);
+  } else if (obj == Py_False) {
+    ok = enc_byte(e, 0xF4);
+  } else if (PyLong_Check(obj)) {
+    int overflow;
+    long long sv = PyLong_AsLongLongAndOverflow(obj, &overflow);
+    if (overflow == 0 && sv == -1 && PyErr_Occurred()) {
+      // conversion error
+    } else if (overflow == 0) {
+      ok = (sv >= 0) ? enc_head(e, 0, (uint64_t)sv)
+                     : enc_head(e, 1, (uint64_t)(-1 - sv));
+    } else if (overflow > 0) {
+      uint64_t uv = PyLong_AsUnsignedLongLong(obj);
+      if (uv == (uint64_t)-1 && PyErr_Occurred()) {
+        PyErr_Clear();
+        unsupported("CBOR: integer out of u64 range (python fallback)");
+      } else {
+        ok = enc_head(e, 0, uv);
+      }
+    } else {
+      unsupported("CBOR: integer out of u64 range (python fallback)");
+    }
+  } else if (PyUnicode_Check(obj)) {
+    Py_ssize_t n;
+    const char *s = PyUnicode_AsUTF8AndSize(obj, &n);
+    if (s) ok = enc_head(e, 3, (uint64_t)n) && enc_bytes(e, s, (size_t)n);
+  } else if (PyBytes_Check(obj)) {
+    ok = enc_head(e, 2, (uint64_t)PyBytes_GET_SIZE(obj)) &&
+         enc_bytes(e, PyBytes_AS_STRING(obj), (size_t)PyBytes_GET_SIZE(obj));
+  } else if (PyByteArray_Check(obj) || PyMemoryView_Check(obj)) {
+    Py_buffer b;
+    if (PyObject_GetBuffer(obj, &b, PyBUF_CONTIG_RO) == 0) {
+      ok = enc_head(e, 2, (uint64_t)b.len) && enc_bytes(e, b.buf, (size_t)b.len);
+      PyBuffer_Release(&b);
+    }
+  } else if (PyFloat_Check(obj)) {
+    double f = PyFloat_AS_DOUBLE(obj);
+    uint64_t u;
+    memcpy(&u, &f, 8);
+    unsigned char h[9];
+    h[0] = 0xFB;
+    for (int i = 0; i < 8; i++) h[1 + i] = (unsigned char)(u >> (56 - 8 * i));
+    ok = enc_bytes(e, h, 9);
+  } else if (PyList_Check(obj) || PyTuple_Check(obj)) {
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(obj);
+    if (enc_head(e, 4, (uint64_t)n)) {
+      ok = 1;
+      for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *item = PyList_Check(obj) ? PyList_GET_ITEM(obj, i)
+                                           : PyTuple_GET_ITEM(obj, i);
+        if (!encode_obj(e, item)) {
+          ok = 0;
+          break;
+        }
+      }
+    }
+  } else if (PyDict_Check(obj)) {
+    if (enc_head(e, 5, (uint64_t)PyDict_GET_SIZE(obj))) {
+      ok = 1;
+      PyObject *k, *v;
+      Py_ssize_t pos = 0;
+      while (PyDict_Next(obj, &pos, &k, &v)) {  // insertion order
+        if (!encode_obj(e, k) || !encode_obj(e, v)) {
+          ok = 0;
+          break;
+        }
+      }
+    }
+  } else if (TaggedClass && PyObject_IsInstance(obj, TaggedClass) == 1) {
+    PyObject *tag = PyObject_GetAttrString(obj, "tag");
+    PyObject *val = tag ? PyObject_GetAttrString(obj, "value") : nullptr;
+    if (tag && val && PyLong_Check(tag)) {
+      uint64_t tv = PyLong_AsUnsignedLongLong(tag);
+      if (tv == (uint64_t)-1 && PyErr_Occurred()) {
+        PyErr_Clear();
+        unsupported("CBOR: tag out of range (python fallback)");
+      } else {
+        ok = enc_head(e, 6, tv) && encode_obj(e, val);
+      }
+    } else if (tag && val) {
+      unsupported("CBOR: non-int tag (python fallback)");
+    }
+    Py_XDECREF(tag);
+    Py_XDECREF(val);
+  } else {
+    unsupported("CBOR: unsupported type (python fallback)");
+  }
+  e->depth--;
+  return ok;
+}
+
+static PyObject *py_dumps(PyObject *, PyObject *obj) {
+  Enc e{nullptr, 0, 0, 0};
+  if (!encode_obj(&e, obj)) {
+    PyMem_Free(e.buf);
+    return nullptr;
+  }
+  PyObject *out = PyBytes_FromStringAndSize(e.buf, (Py_ssize_t)e.len);
+  PyMem_Free(e.buf);
+  return out;
+}
+
+static PyObject *py_set_tagged_class(PyObject *, PyObject *cls) {
+  Py_XDECREF(TaggedClass);
+  TaggedClass = Py_NewRef(cls);
+  Py_RETURN_NONE;
+}
+
 static PyObject *py_decode_at(PyObject *, PyObject *args) {
   Py_buffer buf;
   Py_ssize_t pos;
@@ -301,6 +489,9 @@ static PyObject *py_decode_at(PyObject *, PyObject *args) {
 static PyMethodDef Methods[] = {
     {"decode_at", py_decode_at, METH_VARARGS,
      "decode_at(data, pos) -> (value, new_pos)"},
+    {"dumps", py_dumps, METH_O, "dumps(obj) -> bytes"},
+    {"set_tagged_class", py_set_tagged_class, METH_O,
+     "register the Tagged wrapper class for encode"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -90,6 +90,10 @@ class Tagged:
         )
 
 
+if _native is not None:
+    _native.set_tagged_class(Tagged)
+
+
 # ---------------------------------------------------------------------------
 # Encoding
 # ---------------------------------------------------------------------------
@@ -159,6 +163,11 @@ def encode_into(out: bytearray, obj: Any) -> None:
 
 
 def dumps(obj: Any) -> bytes:
+    if _native is not None:
+        try:
+            return _native.dumps(obj)
+        except _native.UnsupportedError:
+            pass  # exotic value: use the Python encoder (exact errors/bytes)
     out = bytearray()
     encode_into(out, obj)
     return bytes(out)
