@@ -5,28 +5,35 @@ butterfly costs ~10 16-bit multiplies plus carries in the (lo, hi) u32
 representation, times log2(m) stages per phase. This module moves the
 multiply work onto the MXU instead: each four-step phase is a *dense DFT
 matmul* ``Y = W @ X`` with ``W[k, j] = w^(kj)``, evaluated exactly over the
-integers via a 7-bit limb decomposition and int8 matmuls with i32
-accumulation, then reduced mod p once per output element in VMEM.
+integers via a signed base-256 digit decomposition and int8 matmuls with
+i32 accumulation, then reduced mod p once per output element in VMEM.
 
-Exactness bounds (all static):
-  * operands split into NDIG = 10 digits of 7 bits (base 128, 0..127 each,
-    exact in int8);
-  * one digit-pair product plane accumulates m terms of <= 127^2, so a
-    plane element is <= m * 16129 (< 2^31 for m <= 2^17);
-  * a recombination diagonal sums <= 10 planes: s_d < 10 * m * 16129
-    (< 2^31 for m <= 2^13; phases here use m <= 2^10);
-  * the full value  sum_d s_d * 2^(7d)  (< 2^160) is reassembled into five
-    u32 limbs with carry chains and folded mod p with the Goldilocks
-    identities 2^64 = 2^32 - 1, 2^96 = -1, 2^128 = -2^32, 2^160 = -(2^32-1).
+Digit scheme (all bounds static):
+  * operands are written as sum_k d_k 256^k with NDIG = 9 *balanced* digits
+    d_k in [-128, 127] (top digit in {0, 1}) — exactly representable in
+    int8, one fewer digit than an unsigned 7-bit split, so 81 instead of
+    100 digit-pair matmuls per phase;
+  * a digit-pair product plane accumulates m terms of |.| <= 128^2, so a
+    plane element is |.| <= m * 16384 (exact in i32 for m <= 2^17);
+  * a recombination diagonal sums <= 9 planes: |s_d| <= 9 * m * 16384
+    (< 2^28 for m <= 2^10, the largest factor _factor_logs emits);
+  * diagonals are made non-negative by adding OFF = 2^28 (u_d = s_d + OFF
+    < 2^29), recombined as  sum_d u_d * 2^(8d)  (< 2^158) into five u32
+    limbs with carry chains, folded mod p with the Goldilocks identities
+    2^64 = 2^32 - 1, 2^96 = -1, 2^128 = -2^32, 2^160 = -(2^32-1), and the
+    constant OFF * sum_d 2^(8d) mod p is subtracted once at the end.
 
 The DFT-as-matmul formulation also removes the bit-reverse permutations and
-per-stage twiddle tables; only the standard four-step inter-phase twiddles
-T[k1, b] = w_n^(k1*b) remain, applied in-kernel after recombination
+per-stage twiddle tables. For three-phase sizes the middle phase runs as a
+*batched* per-k1 matmul over the natural [m1, m2, m3] layout, so no
+inter-phase HBM transposes are needed: phase A contracts axis 0, phase B
+contracts axis 1 (grid over k1), phase C contracts axis 2 on the contiguous
+[(k1,k2), b3] view; only the final order-restoring transpose remains
 (reference transform semantics: crates/sezkp-ffts/src/ntt.rs:79-177; this
 kernel is bit-identical to ops/ntt.forward_ntt / inverse_ntt).
 
 Sizes: n = m1 * m2 (two phases) or m1 * m2 * m3 (three phases), every factor
-<= 2^10 so each W digit table ([10*m, m] int8) stays VMEM-resident. For
+<= 2^10 so each W digit table ([9*m, m] int8) stays VMEM-resident. For
 n < 2^14 the roll-based :mod:`ntt_pallas` kernel is used instead (matmul
 setup overhead dominates below that).
 """
@@ -46,12 +53,17 @@ from . import goldilocks_jax as FJ
 from . import ntt as ntt_host
 from . import ntt_pallas
 
-NDIG = 10  # 7-bit digits per u64
+NDIG = 9  # balanced base-256 digits per u64
 DIAGS = 2 * NDIG - 1
 MIN_LOG2 = 14  # below this, delegate to ntt_pallas
-_MASK7 = np.uint32(127)
+OFF = 1 << 28  # diagonal offset: |s_d| <= 9 * 2^10 * 128^2 < 2^28
 
-# VMEM working-set cap per tile plane: 19 diagonal planes of i32 plus the
+# correction constant: OFF * sum_{d} 2^(8d) mod p, subtracted after recombine
+_CORR = (OFF * sum(1 << (8 * d) for d in range(DIAGS))) % int(G.P)
+_CORR_LO = np.uint32(_CORR & 0xFFFFFFFF)
+_CORR_HI = np.uint32(_CORR >> 32)
+
+# VMEM working-set cap per tile plane: 17 diagonal planes of i32 plus the
 # int8 stacks must fit comfortably; tile_elems <= 2^17 keeps that ~12 MB.
 _TILE_ELEMS_LOG2 = 17
 
@@ -59,25 +71,46 @@ _params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _factor_logs(n_log2: int) -> list[int]:
-    """Balanced factor logs, each <= 10, largest first (smallest last so the
-    middle-phase twiddle table [m_last, m_mid] stays small).
+    """Balanced factor logs, each <= 10, *smallest first* so the last factor
+    m3 is as large as possible (m3 >= 128 selects the aligned-lane batched
+    kernels, which avoid transposed int8 matmuls).
 
     MXU work scales with sum(m_i), so three balanced factors beat two from
     n = 2^18 up (measured: 0.74 ms vs 1.6 ms at 2^20 on v5e); below that the
     extra phase's recombination + HBM pass dominates."""
     k = 2 if n_log2 <= 17 else 3
     q, r = divmod(n_log2, k)
-    return [q + 1] * r + [q] * (k - r)
+    return [q] * (k - r) + [q + 1] * r
 
 
-def _digit(lo, hi, k: int):
-    """k-th 7-bit digit of the u64 value (lo, hi); returns u32 in [0, 127]."""
-    sh = 7 * k
-    if sh + 7 <= 32:
-        return (lo >> sh) & _MASK7 if sh else lo & _MASK7
-    if sh < 32:  # straddles the limb boundary (k == 4: bits 28..34)
-        return ((lo >> sh) | (hi << (32 - sh))) & _MASK7
-    return (hi >> (sh - 32)) & _MASK7
+def _balanced_digits_host(W: np.ndarray) -> list[np.ndarray]:
+    """u64 array -> 9 int8 planes: W = sum_k d_k 256^k, d_k in [-128, 127]."""
+    t = W.copy()
+    digs = []
+    for _ in range(8):
+        b = (t & np.uint64(255)).astype(np.int64)
+        ge = b >= 128
+        digs.append(np.where(ge, b - 256, b).astype(np.int8))
+        t = (t >> np.uint64(8)) + ge.astype(np.uint64)
+    assert int(t.max()) <= 1
+    digs.append(t.astype(np.int8))
+    return digs
+
+
+def _digits(lo, hi):
+    """In-kernel balanced base-256 digits of the u64 planes (lo, hi):
+    9 int8 planes, d_k in [-128, 127], top in {0, 1}."""
+    bs = [((lo >> (8 * k)) & jnp.uint32(255)).astype(jnp.int32) for k in range(4)]
+    bs += [((hi >> (8 * k)) & jnp.uint32(255)).astype(jnp.int32) for k in range(4)]
+    digs = []
+    c = jnp.zeros_like(bs[0])
+    for k in range(8):
+        t = bs[k] + c
+        ge = (t >= 128).astype(jnp.int32)
+        digs.append((t - (ge << 8)).astype(jnp.int8))
+        c = ge
+    digs.append(c.astype(jnp.int8))
+    return digs
 
 
 def _acc_add64(acc, x):
@@ -87,13 +120,14 @@ def _acc_add64(acc, x):
 
 
 def _recombine(diags):
-    """[s_0..s_18] u32 diagonal sums -> canonical (lo, hi) of
-    sum_d s_d * 2^(7d) mod p."""
-    shape = diags[0].shape
+    """[s_0..s_16] i32 diagonal sums (|s_d| < OFF) -> canonical (lo, hi) of
+    sum_d s_d * 2^(8d) mod p."""
+    u = [(s + jnp.int32(OFF)).astype(jnp.uint32) for s in diags]  # < 2^29
+    shape = u[0].shape
     z = jnp.zeros(shape, jnp.uint32)
     acc = [(z, z) for _ in range(5)]
-    for d, s in enumerate(diags):
-        q, sh = divmod(7 * d, 32)
+    for d, s in enumerate(u):
+        q, sh = divmod(8 * d, 32)
         acc[q] = _acc_add64(acc[q], (s << sh) if sh else s)
         if sh:
             acc[q + 1] = _acc_add64(acc[q + 1], s >> (32 - sh))
@@ -103,7 +137,7 @@ def _recombine(diags):
     for q in range(5):
         lo, c = FJ._addc(acc[q][0], carry)
         v.append(lo)
-        carry = acc[q][1] + c  # acc hi < 2^35/2^32 + 1, no overflow
+        carry = acc[q][1] + c  # acc hi <= 4*2^21 + spill, no overflow
     v.append(carry)
     # fold mod p: 2^64=EPS, 2^96=-1, 2^128=-2^32, 2^160=-EPS (EPS=2^32-1)
     nz2 = (v[2] != 0).astype(jnp.uint32)
@@ -114,15 +148,19 @@ def _recombine(diags):
     d_ = FJ._cond_sub_p(z - v[5], v[5] - nz5)  # v5 * EPS
     r = FJ.add(a, b)
     r = FJ.sub(r, c_)
-    return FJ.sub(r, d_)
+    r = FJ.sub(r, d_)
+    corr = (jnp.full(shape, _CORR_LO, jnp.uint32), jnp.full(shape, _CORR_HI, jnp.uint32))
+    return FJ.sub(r, corr)
 
 
 @lru_cache(maxsize=32)
 def _w_digits(m_log2: int, inverse: bool, scale: int = 1):
-    """DFT matrix W[k, j] = scale * w^(kj) as int8 digit planes [NDIG*m, m].
+    """DFT matrix W[k, j] = scale * w^(kj) as int8 balanced digit planes
+    [NDIG*m, m].
 
     W is symmetric, so the same table serves axis-0 (W @ X) and axis-1
     (X @ W) phases."""
+    assert m_log2 <= 10, "factor too large for the diagonal bound"
     m = 1 << m_log2
     w = G.primitive_root_2exp(m_log2)
     if inverse:
@@ -133,35 +171,58 @@ def _w_digits(m_log2: int, inverse: bool, scale: int = 1):
     W = wp[idx]
     if scale != 1:
         W = G.mul(W, np.uint64(scale))
-    digs = [
-        ((W >> np.uint64(7 * kd)) & np.uint64(127)).astype(np.int8)
-        for kd in range(NDIG)
-    ]
-    return jnp.asarray(np.concatenate(digs, axis=0))
+    return jnp.asarray(np.concatenate(_balanced_digits_host(W), axis=0))
 
 
 @lru_cache(maxsize=32)
-def _t_mid(m_mid_log2: int, m_last_log2: int, rows: int, inverse: bool):
-    """Middle-phase twiddle T[b3, k2] = w_r^(b3*k2) (r = m_mid*m_last),
-    host-tiled to `rows` rows when rows >= m_last."""
+def _t_mid(m_mid_log2: int, m_last_log2: int, inverse: bool, transposed: bool):
+    """Middle-phase twiddle w_r^(k2*b3) (r = m_mid*m_last), shared across
+    every k1 batch. Layout [k2, b3] for the natural ("wx") middle phase, or
+    [b3, k2] when transposed=True (the "xw_t" pair)."""
     m_mid, m_last = 1 << m_mid_log2, 1 << m_last_log2
     w = G.primitive_root_2exp(m_mid_log2 + m_last_log2)
     if inverse:
         w = G.inv(w)
     wp = ntt_host.powers(w, m_mid * m_last)
-    b3 = np.arange(m_last, dtype=np.uint64)[:, None]
-    k2 = np.arange(m_mid, dtype=np.uint64)[None, :]
-    t = wp[b3 * k2]  # max index (m_last-1)(m_mid-1) < r
-    if rows >= m_last:
-        t = np.tile(t, (rows // m_last, 1))
-    return FJ.pack(t)
+    k2 = np.arange(m_mid, dtype=np.uint64)
+    b3 = np.arange(m_last, dtype=np.uint64)
+    idx = b3[:, None] * k2[None, :] if transposed else k2[:, None] * b3[None, :]
+    return FJ.pack(wp[idx])  # max index (m_mid-1)(m_last-1) < r
 
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _dft_kernel(m_log2: int, tile: int, axis: int, twiddle: bool, interp: bool):
+def _dot_digits(x, w, m: int, span: int, axis: int):
+    """All 81 digit-pair products of the stacked digit matmuls, summed into
+    17 diagonal planes (i32).
+
+    axis=0: x is [m, NDIG*span] (digits along columns), products W_j @ x.
+    axis=1: x is [NDIG*span, m] (digits along rows),     products x @ W_j."""
+    diags = [None] * DIAGS
+    for j in range(NDIG):
+        wj = w[j * m : (j + 1) * m, :]
+        if axis == 0:
+            p = jax.lax.dot_general(
+                wj, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+        else:
+            p = jax.lax.dot_general(
+                x, wj, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+        for i in range(NDIG):
+            blk = (
+                p[:, i * span : (i + 1) * span]
+                if axis == 0
+                else p[i * span : (i + 1) * span, :]
+            )
+            d = i + j
+            diags[d] = blk if diags[d] is None else diags[d] + blk
+    return diags
+
+
+def _dft_kernel(m_log2: int, tile: int, axis: int, twiddle: bool):
     """Pallas kernel body: exact DFT matmul along `axis` + optional twiddle.
 
     axis=0: X is [m, tile],  Y = W @ X  (digits stacked along columns).
@@ -173,36 +234,10 @@ def _dft_kernel(m_log2: int, tile: int, axis: int, twiddle: bool, interp: bool):
             tlo_ref, thi_ref, olo_ref, ohi_ref = rest
         else:
             olo_ref, ohi_ref = rest
-        alo = alo_ref[:, :]
-        ahi = ahi_ref[:, :]
-        digs = [
-            _digit(alo, ahi, k).astype(jnp.int32).astype(jnp.int8)
-            for k in range(NDIG)
-        ]
+        digs = _digits(alo_ref[:, :], ahi_ref[:, :])
         x = jnp.concatenate(digs, axis=1 - axis)
-        w = w_ref[:, :]
-        diags = [None] * DIAGS
-        for j in range(NDIG):
-            wj = w[j * m : (j + 1) * m, :]
-            if axis == 0:
-                p = jax.lax.dot_general(
-                    wj, x, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-            else:
-                p = jax.lax.dot_general(
-                    x, wj, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-            for i in range(NDIG):
-                blk = (
-                    p[:, i * tile : (i + 1) * tile]
-                    if axis == 0
-                    else p[i * tile : (i + 1) * tile, :]
-                )
-                d = i + j
-                diags[d] = blk if diags[d] is None else diags[d] + blk
-        lo, hi = _recombine([s.astype(jnp.uint32) for s in diags])
+        diags = _dot_digits(x, w_ref[:, :], m, tile, axis)
+        lo, hi = _recombine(diags)
         if twiddle:
             lo, hi = FJ.mul((lo, hi), (tlo_ref[:, :], thi_ref[:, :]))
         olo_ref[:, :] = lo
@@ -219,15 +254,13 @@ def _dft_call(m_log2: int, other: int, axis: int, w, t=None, tile=None):
     """pallas_call wrapper: DFT along `axis` of a 2-D u32-plane pair.
 
     axis=0: array [m, other], grid over column tiles; t full-size [m, other].
-    axis=1: array [other, m], grid over row tiles; t periodic in rows —
-    either host-tiled to exactly `tile` rows (constant map) or with a period
-    that is a multiple of `tile` (modular map)."""
+    axis=1: array [other, m], grid over row tiles."""
     m = 1 << m_log2
     interp = _interpret()
     if tile is None:
         tile = _default_tile(m_log2, other)
     grid = other // tile
-    kernel = _dft_kernel(m_log2, tile, axis, t is not None, interp)
+    kernel = _dft_kernel(m_log2, tile, axis, t is not None)
 
     if axis == 0:
         data_spec = pl.BlockSpec((m, tile), lambda i: (0, i))
@@ -239,14 +272,7 @@ def _dft_call(m_log2: int, other: int, axis: int, w, t=None, tile=None):
     in_specs = [data_spec, data_spec, w_spec]
     operands = [w]
     if t is not None:
-        if axis == 0:
-            t_spec = data_spec
-        elif int(t[0].shape[0]) == tile:  # host-tiled to one tile
-            t_spec = pl.BlockSpec((tile, m), lambda i: (0, 0))
-        else:  # period (rows of t) is a multiple of tile
-            period_blocks = int(t[0].shape[0]) // tile
-            t_spec = pl.BlockSpec((tile, m), lambda i: (i % period_blocks, 0))
-        in_specs += [t_spec, t_spec]
+        in_specs += [data_spec, data_spec]
         operands += [t[0], t[1]]
 
     f = pl.pallas_call(
@@ -257,6 +283,107 @@ def _dft_call(m_log2: int, other: int, axis: int, w, t=None, tile=None):
         out_shape=[
             jax.ShapeDtypeStruct(shape, jnp.uint32),
             jax.ShapeDtypeStruct(shape, jnp.uint32),
+        ],
+        interpret=interp,
+        compiler_params=None if interp else _params,
+    )
+
+    def apply(lo, hi):
+        return f(lo, hi, *operands)
+
+    return apply
+
+
+def _batched_kernel(mc_log2: int, cols: int, twiddle: bool, mode: str):
+    """Batched-phase body: one k1 batch of a 3-D layout, no HBM transposes.
+
+    mode="wx": contract the block's *leading* axis via Y = W @ X with X
+      digits stacked along lanes ([mc, NDIG*cols]); natural [mc, cols]
+      output. Digit-block slices land on the lane axis at multiples of
+      `cols` — requires cols >= 128 (Mosaic mis-lowers sub-tile lane
+      slices, observed on v5e).
+    mode="xw_t": contract the leading axis via dot_general(((0,), (0,)))
+      (x^T @ W) — digit slices land on the sublane axis, output block
+      transposed to [cols, mc]. Works at any size; ~1.3x slower (the
+      transposed int8 operand costs an in-VMEM shuffle). Chaining two of
+      these cancels the transposition.
+    mode="xw_last": contract the block's *last* axis via X @ W with digits
+      stacked along sublanes ([NDIG*rows, mc]); natural output, any size."""
+    mc = 1 << mc_log2
+
+    def kernel(alo_ref, ahi_ref, w_ref, *rest):
+        if twiddle:
+            tlo_ref, thi_ref, olo_ref, ohi_ref = rest
+        else:
+            olo_ref, ohi_ref = rest
+        digs = _digits(alo_ref[0, :, :], ahi_ref[0, :, :])
+        w = w_ref[:, :]
+        span = cols
+        if mode == "wx":
+            x = jnp.concatenate(digs, axis=1)  # [mc, NDIG*cols]
+            dims, ops, axis = (((1,), (0,)), ((), ())), "w_first", 0
+        elif mode == "xw_t":
+            x = jnp.concatenate(digs, axis=1)  # [mc, NDIG*cols]
+            dims, ops, axis = (((0,), (0,)), ((), ())), "x_first", 1
+        else:  # xw_last
+            x = jnp.concatenate(digs, axis=0)  # [NDIG*rows, mc]
+            dims, ops, axis = (((1,), (0,)), ((), ())), "x_first", 1
+        diags = [None] * DIAGS
+        for j in range(NDIG):
+            wj = w[j * mc : (j + 1) * mc, :]
+            lhs, rhs = (wj, x) if ops == "w_first" else (x, wj)
+            p = jax.lax.dot_general(
+                lhs, rhs, dims, preferred_element_type=jnp.int32
+            )
+            for i in range(NDIG):
+                blk = (
+                    p[:, i * span : (i + 1) * span]
+                    if axis == 0
+                    else p[i * span : (i + 1) * span, :]
+                )
+                d = i + j
+                diags[d] = blk if diags[d] is None else diags[d] + blk
+        lo, hi = _recombine(diags)
+        if twiddle:
+            lo, hi = FJ.mul((lo, hi), (tlo_ref[:, :], thi_ref[:, :]))
+        olo_ref[0, :, :] = lo
+        ohi_ref[0, :, :] = hi
+
+    return kernel
+
+
+def _batched_call(m1: int, mc_log2: int, cols: int, w, t=None, mode: str = "xw_t"):
+    """Batched DFT on a [m1, ., .] 3-D layout: grid over k1.
+
+    mode="wx":      [m1, mc, cols] -> [m1, mc, cols] (contract leading axis)
+    mode="xw_t":    [m1, mc, cols] -> [m1, cols, mc] (contract leading axis,
+                    blocks transposed)
+    mode="xw_last": [m1, rows=cols, mc] -> same shape (contract last axis)"""
+    mc = 1 << mc_log2
+    interp = _interpret()
+    if mode == "xw_last":
+        in_shape = out_shape = (cols, mc)
+    elif mode == "wx":
+        in_shape = out_shape = (mc, cols)
+    else:
+        in_shape, out_shape = (mc, cols), (cols, mc)
+    in_spec = pl.BlockSpec((1,) + in_shape, lambda i: (i, 0, 0))
+    out_spec = pl.BlockSpec((1,) + out_shape, lambda i: (i, 0, 0))
+    w_spec = pl.BlockSpec(tuple(w.shape), lambda i: (0, 0))
+    in_specs = [in_spec, in_spec, w_spec]
+    operands = [w]
+    if t is not None:
+        t_spec = pl.BlockSpec(out_shape, lambda i: (0, 0))
+        in_specs += [t_spec, t_spec]
+        operands += [t[0], t[1]]
+    f = pl.pallas_call(
+        _batched_kernel(mc_log2, cols, t is not None, mode),
+        grid=(m1,),
+        in_specs=in_specs,
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((m1,) + out_shape, jnp.uint32),
+            jax.ShapeDtypeStruct((m1,) + out_shape, jnp.uint32),
         ],
         interpret=interp,
         compiler_params=None if interp else _params,
@@ -295,26 +422,24 @@ def _build(n_log2: int, inverse: bool):
     m1, m2, m3 = 1 << l1, 1 << l2, 1 << l3
     t1 = ntt_pallas._twiddle_matrix(l1, l2 + l3, inverse)
     phase_a = _dft_call(l1, m2 * m3, 0, _w_digits(l1, inverse), t=t1)
-
-    rows_b = m1 * m3
-    tile_b = _default_tile(l2, rows_b)
-    # powers of two: tile_b >= m3 -> host-tile T2 to tile_b rows (constant
-    # block map); tile_b < m3 -> T2 stays [m3, m2], modular block map.
-    t2 = _t_mid(l2, l3, tile_b if tile_b >= m3 else 0, inverse)
-    phase_b = _dft_call(l2, rows_b, 1, _w_digits(l2, inverse), t=t2, tile=tile_b)
-    phase_c = _dft_call(l3, m1 * m2, 1, _w_digits(l3, inverse, inv_n))
+    w2, w3 = _w_digits(l2, inverse), _w_digits(l3, inverse, inv_n)
+    if m3 >= 128:
+        # fast aligned pair: natural layouts throughout
+        # [k1, a2, b3] -> [k1, k2, b3] (contract middle axis, W @ X)
+        phase_b = _batched_call(m1, l2, m3, w2, _t_mid(l2, l3, inverse, False), mode="wx")
+        # [k1, k2, b3] -> [k1, k2, k3] (contract last axis, X @ W)
+        phase_c = _batched_call(m1, l3, m2, w3, mode="xw_last")
+    else:
+        # small-m3 pair: transposed contractions (sublane-only slicing)
+        # [k1, a2, b3] -> [k1, b3, k2] -> [k1, k2, k3] (transposition cancels)
+        phase_b = _batched_call(m1, l2, m3, w2, _t_mid(l2, l3, inverse, True), mode="xw_t")
+        phase_c = _batched_call(m1, l3, m2, w3, mode="xw_t")
 
     def f(lo_flat, hi_flat):
         lo = lo_flat.reshape(m1, m2 * m3)
         hi = hi_flat.reshape(m1, m2 * m3)
         lo, hi = phase_a(lo, hi)
-        # [k1, (a2, b3)] -> [(k1, b3), a2]
-        lo = lo.reshape(m1, m2, m3).transpose(0, 2, 1).reshape(rows_b, m2)
-        hi = hi.reshape(m1, m2, m3).transpose(0, 2, 1).reshape(rows_b, m2)
-        lo, hi = phase_b(lo, hi)
-        # [(k1, b3), k2] -> [(k1, k2), b3]
-        lo = lo.reshape(m1, m3, m2).transpose(0, 2, 1).reshape(m1 * m2, m3)
-        hi = hi.reshape(m1, m3, m2).transpose(0, 2, 1).reshape(m1 * m2, m3)
+        lo, hi = phase_b(lo.reshape(m1, m2, m3), hi.reshape(m1, m2, m3))
         lo, hi = phase_c(lo, hi)
         # y[k1 + m1*k2 + m1*m2*k3] = Y[k1, k2, k3]
         lo = lo.reshape(m1, m2, m3).transpose(2, 1, 0).reshape(n)

@@ -47,21 +47,37 @@ def test_mxu_small_sizes_delegate():
 
 
 def test_recombine_edge_values():
-    """Recombination handles extreme digit products (all-max operands)."""
+    """Recombination handles extreme digit products (all-max operands):
+    signed balanced base-256 digits, m = 1024 (largest factor emitted)."""
     import jax.numpy as jnp
 
-    # worst case for the diagonal bounds: x = w = p-1 everywhere, m = 1024
     m = 1024
-    x = np.full(m, int(G.P) - 1, dtype=np.uint64)
-    dig = [(int(x[0]) >> (7 * k)) & 127 for k in range(M.NDIG)]
+    x = np.full(1, int(G.P) - 1, dtype=np.uint64)
+    dig = [int(d[0]) for d in M._balanced_digits_host(x)]
+    assert len(dig) == M.NDIG
+    assert sum(d * (256**k) for k, d in enumerate(dig)) == int(x[0])
     diags = []
     for d in range(M.DIAGS):
         s = sum(
             dig[i] * dig[d - i] for i in range(M.NDIG) if 0 <= d - i < M.NDIG
         )
-        diags.append(jnp.full((4, 4), np.uint32(s * m)))
-        assert s * m < 2**31
+        diags.append(jnp.full((4, 4), np.int32(s * m)))
+        assert abs(s * m) < M.OFF
     lo, hi = M._recombine(diags)
     want = (int(x[0]) * int(x[0]) % int(G.P)) * m % int(G.P)
     got = int(np.asarray(lo)[0, 0]) | (int(np.asarray(hi)[0, 0]) << 32)
     assert got == want
+
+
+def test_balanced_digits_host_roundtrip():
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.integers(0, 2**64 - 1, 64, dtype=np.uint64),
+            np.array([0, 1, 127, 128, 255, 256, int(G.P) - 1, 2**64 - 1], np.uint64),
+        ]
+    )
+    digs = M._balanced_digits_host(vals)
+    acc = sum(d.astype(object) * (256**k) for k, d in enumerate(digs))
+    assert all(int(a) == int(v) for a, v in zip(acc, vals))
+    assert all(-128 <= int(d.min()) and int(d.max()) <= 127 for d in digs)
