@@ -350,7 +350,11 @@ def _jit_columns_commit(plen: int, n_cols: int, chunk_log2: int):
 
 
 def columns_commit_device(
-    values_u64: np.ndarray, prefixes, chunk_log2: int, resident: bool = False
+    values_u64: np.ndarray,
+    prefixes,
+    chunk_log2: int,
+    resident: bool = False,
+    defer_pull: bool = False,
 ):
     """Hash + chunk-commit many columns in one device round-trip.
 
@@ -374,13 +378,10 @@ def columns_commit_device(
     cvs, roots = _jit_columns_commit(plen, c, chunk_log2)(lo, hi, prefs)
     n_chunks = n >> chunk_log2
     if resident:
-        roots_np = jax.device_get(roots)
-        croots = (
-            np.ascontiguousarray(roots_np, dtype="<u4")
-            .view(np.uint8)
-            .reshape(c, n_chunks, 32)
-        )
-        return cvs, croots
+        roots = roots.reshape(c, n_chunks, 8)
+        if defer_pull:
+            return cvs, roots
+        return cvs, croots_to_host(jax.device_get(roots))
     cvs_np, roots_np = jax.device_get((cvs, roots))  # one transfer
     leaves = (
         np.ascontiguousarray(cvs_np, dtype="<u4").view(np.uint8).reshape(c, n, 32)
@@ -423,14 +424,19 @@ def _jit_chunk_paths(chunk_log2: int, bucket: int):
     return jax.jit(f)
 
 
-def chunk_paths_device(leaves_dev, chunk_starts, idx_in_chunk, chunk_log2: int):
+def chunk_paths_device(
+    leaves_dev, chunk_starts, idx_in_chunk, chunk_log2: int, defer_pull: bool = False
+):
     """Extract inner-chunk Merkle paths for K (chunk, index) requests.
 
     leaves_dev: jnp uint32 [n, 8] leaf CVs (resident on device).
     chunk_starts: np int array [K] (row offsets of each chunk).
     idx_in_chunk: np int array [K].
     Returns (paths uint8 [K, chunk_log2, 32], roots uint8 [K, 32]).
-    """
+
+    defer_pull=True instead returns the DEVICE (paths, roots) arrays plus a
+    decoder `finish(paths_np, roots_np)` so the caller can batch the
+    device->host pull with other buffers."""
     chunk = 1 << chunk_log2
     k = len(chunk_starts)
     bucket = max(64, 1 << (k - 1).bit_length()) if k else 64
@@ -443,16 +449,23 @@ def chunk_paths_device(leaves_dev, chunk_starts, idx_in_chunk, chunk_log2: int):
     paths, roots = _jit_chunk_paths(chunk_log2, bucket)(
         leaves_dev, jnp.asarray(starts), jnp.asarray(idxs)
     )
-    paths_np, roots_np = jax.device_get((paths, roots))
-    paths8 = (
-        np.ascontiguousarray(paths_np, dtype="<u4")
-        .view(np.uint8)
-        .reshape(bucket, chunk_log2, 32)[:k]
-    )
-    roots8 = (
-        np.ascontiguousarray(roots_np, dtype="<u4").view(np.uint8).reshape(bucket, 32)[:k]
-    )
-    return paths8, roots8
+
+    def finish(paths_np, roots_np):
+        paths8 = (
+            np.ascontiguousarray(paths_np, dtype="<u4")
+            .view(np.uint8)
+            .reshape(bucket, chunk_log2, 32)[:k]
+        )
+        roots8 = (
+            np.ascontiguousarray(roots_np, dtype="<u4")
+            .view(np.uint8)
+            .reshape(bucket, 32)[:k]
+        )
+        return paths8, roots8
+
+    if defer_pull:
+        return paths, roots, finish
+    return finish(*jax.device_get((paths, roots)))
 
 
 
@@ -471,12 +484,19 @@ def _jit_columns_commit_gather(plen: int, n_cols: int, chunk_log2: int):
     return jax.jit(f)
 
 
-def columns_commit_from_planes(lo, hi, prefixes, chunk_log2: int, idx=None):
+def columns_commit_from_planes(
+    lo, hi, prefixes, chunk_log2: int, idx=None, defer_pull: bool = False
+):
     """columns_commit_device for DEVICE-RESIDENT [C, n] u32 planes.
 
     `idx` (optional int array [C']) selects rows of lo/hi on device inside
     the jitted program (fused gather); without it lo/hi are used as-is.
-    Returns (leaf CVs jnp [C, n, 8] resident, chunk_roots uint8 [C, nc, 32])."""
+    Returns (leaf CVs jnp [C, n, 8] resident, chunk_roots uint8 [C, nc, 32]).
+
+    defer_pull=True returns the chunk roots as a DEVICE array instead
+    (uint32 [C, nc, 8]); decode later with croots_to_host. Callers batching
+    several prefix groups use this to pay the device->host round-trip
+    latency once instead of per group (the tunnel pull is ~100 ms)."""
     c = len(prefixes) if idx is not None else lo.shape[0]
     n = lo.shape[1]
     assert n % (1 << chunk_log2) == 0
@@ -491,11 +511,18 @@ def columns_commit_from_planes(lo, hi, prefixes, chunk_log2: int, idx=None):
         )
     else:
         cvs, roots = _jit_columns_commit(plen, c, chunk_log2)(lo, hi, prefs)
-    roots_np = jax.device_get(roots)
     n_chunks = n >> chunk_log2
-    croots = (
+    roots = roots.reshape(c, n_chunks, 8)
+    if defer_pull:
+        return cvs, roots
+    return cvs, croots_to_host(jax.device_get(roots))
+
+
+def croots_to_host(roots_np) -> np.ndarray:
+    """Device-pulled uint32 [C, nc, 8] chunk roots -> uint8 [C, nc, 32]."""
+    c, n_chunks, _ = roots_np.shape
+    return (
         np.ascontiguousarray(roots_np, dtype="<u4")
         .view(np.uint8)
         .reshape(c, n_chunks, 32)
     )
-    return cvs, croots

@@ -92,8 +92,12 @@ def _jit_columns(n: int, tau: int, nb: int):
 
     def f(input_mv, tape_mv, wflag, wsym, block_of, block_start, is_first, is_last,
           win_len, in_off, out_off):
-        # shapes: input_mv i8 [n]; tape_mv i8 [n, tau]; wflag u8; wsym u16
-        # block_of i32 [n]; block_start i32 [nb]; win/in/out u32 [nb, tau] (lo only)
+        # shapes: input_mv i8 [n]; tape_mv i8 [tau, n]; wflag u8; wsym u16
+        # block_of i32 [n]; block_start i32 [nb]; win/in/out u32 [tau, nb]
+        # (lo only). Per-tape arrays are [tau, n] — tau in the *sublane*
+        # axis, n in lanes — so every elementwise/cumsum op runs at full
+        # lane width (a [n, tau=8] layout wastes 120/128 lanes and made
+        # this program ~10x slower).
         cols_lo = []
         cols_hi = []
 
@@ -102,42 +106,40 @@ def _jit_columns(n: int, tau: int, nb: int):
         cols_lo.append(is_first.astype(jnp.uint32)); cols_hi.append(jnp.zeros(n, jnp.uint32))
         cols_lo.append(is_last.astype(jnp.uint32)); cols_hi.append(jnp.zeros(n, jnp.uint32))
 
-        tmv32 = tape_mv.astype(jnp.int32)  # [n, tau]
+        tmv32 = tape_mv.astype(jnp.int32)  # [tau, n]
         # heads: global cumsum minus cumsum at block entry, anchored at
         # window-left (entry = off_in; see columns.py for the deliberate
         # deviation from the reference's entry-anchored heads)
-        csum = jnp.cumsum(tmv32, axis=0)  # [n, tau] (n < 2^31 safe)
-        start_csum_rows = jnp.concatenate(
-            [jnp.zeros((1, tau), jnp.int32), csum[block_start[1:] - 1]]
-        ) if nb > 1 else jnp.zeros((1, tau), jnp.int32)
+        csum = jnp.cumsum(tmv32, axis=1)  # [tau, n] (n < 2^31 safe)
+        start_csum = (
+            jnp.concatenate(
+                [jnp.zeros((tau, 1), jnp.int32), csum[:, block_start[1:] - 1]],
+                axis=1,
+            )
+            if nb > 1
+            else jnp.zeros((tau, 1), jnp.int32)
+        )  # [tau, nb]
         head_rel = (
-            csum - start_csum_rows[block_of] + in_off.astype(jnp.int32)[block_of]
-        )  # [n, tau]
+            csum - start_csum[:, block_of] + in_off.astype(jnp.int32)[:, block_of]
+        )  # [tau, n]
 
-        per_tape = {"mv": [], "wflag": [], "wsym": [], "head": [], "winlen": [],
-                    "in_off": [], "out_off": []}
-        for r in range(tau):
-            per_tape["mv"].append(from_i64_small(tmv32[:, r]))
-            per_tape["wflag"].append(
-                (wflag[:, r].astype(jnp.uint32), jnp.zeros(n, jnp.uint32))
-            )
-            per_tape["wsym"].append(
-                (wsym[:, r].astype(jnp.uint32), jnp.zeros(n, jnp.uint32))
-            )
-            per_tape["head"].append(from_i64_small(head_rel[:, r]))
-            per_tape["winlen"].append(
-                (win_len[:, r][block_of], jnp.zeros(n, jnp.uint32))
-            )
-            per_tape["in_off"].append(
-                (in_off[:, r][block_of], jnp.zeros(n, jnp.uint32))
-            )
-            per_tape["out_off"].append(
-                (out_off[:, r][block_of], jnp.zeros(n, jnp.uint32))
-            )
+        zero_hi = jnp.zeros((tau, n), jnp.uint32)
+        mv = from_i64_small(tmv32)
+        head = from_i64_small(head_rel)
+        per_tape = {
+            "mv": mv,
+            "wflag": (wflag.astype(jnp.uint32), zero_hi),
+            "wsym": (wsym.astype(jnp.uint32), zero_hi),
+            "head": head,
+            "winlen": (win_len[:, block_of], zero_hi),
+            "in_off": (in_off[:, block_of], zero_hi),
+            "out_off": (out_off[:, block_of], zero_hi),
+        }
         for name in ("mv", "wflag", "wsym", "head", "winlen", "in_off", "out_off"):
+            lo2, hi2 = per_tape[name]
             for r in range(tau):
-                cols_lo.append(per_tape[name][r][0])
-                cols_hi.append(per_tape[name][r][1])
+                cols_lo.append(lo2[r])
+                cols_hi.append(hi2[r])
         return jnp.stack(cols_lo), jnp.stack(cols_hi)
 
     return jax.jit(f)
@@ -157,16 +159,16 @@ class DeviceColumns:
         f = _jit_columns(self.n, self.tau, nb)
         self.lo, self.hi = f(
             jnp.asarray(h["input_mv"]),
-            jnp.asarray(h["tape_mv"]),
-            jnp.asarray(h["wflag"].astype(np.uint8)),
-            jnp.asarray(h["wsym"].astype(np.uint16)),
+            jnp.asarray(np.ascontiguousarray(h["tape_mv"].T)),
+            jnp.asarray(np.ascontiguousarray(h["wflag"].astype(np.uint8).T)),
+            jnp.asarray(np.ascontiguousarray(h["wsym"].astype(np.uint16).T)),
             jnp.asarray(h["block_of"]),
             jnp.asarray(h["block_start"]),
             jnp.asarray(h["is_first"]),
             jnp.asarray(h["is_last"]),
-            jnp.asarray((h["win_len"] & 0xFFFFFFFF).astype(np.uint32)),
-            jnp.asarray((h["in_off"] & 0xFFFFFFFF).astype(np.uint32)),
-            jnp.asarray((h["out_off"] & 0xFFFFFFFF).astype(np.uint32)),
+            jnp.asarray(np.ascontiguousarray((h["win_len"] & 0xFFFFFFFF).astype(np.uint32).T)),
+            jnp.asarray(np.ascontiguousarray((h["in_off"] & 0xFFFFFFFF).astype(np.uint32).T)),
+            jnp.asarray(np.ascontiguousarray((h["out_off"] & 0xFFFFFFFF).astype(np.uint32).T)),
         )
 
     def to_host(self) -> np.ndarray:

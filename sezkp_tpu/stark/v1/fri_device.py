@@ -185,12 +185,13 @@ class DeviceFri:
             val_off += m
             node_off += sum(sizes)
 
-        roots_np = _cv_bytes(jax.device_get(roots))
-        self._roots = [r.tobytes() for r in roots_np]
+        # one pull for the layer roots AND the tail values (tunnel round
+        # trips are ~100 ms each; batch them)
+        roots_np, t_lo, t_hi = jax.device_get((roots, tail_lo, tail_hi))
+        self._roots = [r.tobytes() for r in _cv_bytes(roots_np)]
 
         # host tail: fold the remaining small layers from the pulled last
         # device layer (a few thousand values)
-        t_lo, t_hi = jax.device_get((tail_lo, tail_hi))
         tail = t_lo.astype(np.uint64) | (t_hi.astype(np.uint64) << np.uint64(32))
         self._host_layers = {}
         self._host_trees = {}
@@ -301,40 +302,37 @@ class DeviceFri:
             positions.append(idx)
             plans.append((positions, layer_plan))
 
-        g0 = (
-            _cv_bytes(
-                jax.device_get(
-                    self._nodes0[jnp.asarray(np.array(node_reqs0, dtype=np.int32))]
-                )
-            )
-            if node_reqs0
-            else np.zeros((0, 32), np.uint8)
-        )
-        g1 = (
-            _cv_bytes(
-                jax.device_get(
-                    self._nodes_rest[jnp.asarray(np.array(node_reqs1, dtype=np.int32))]
-                )
-            )
-            if node_reqs1
-            else np.zeros((0, 32), np.uint8)
-        )
+        # queue every device gather, then ONE pull for all of them (the
+        # tunnel round-trip is ~100 ms; per-buffer pulls would pay it 4x)
+        pulls = {}
+        if node_reqs0:
+            pulls["g0"] = self._nodes0[
+                jnp.asarray(np.array(node_reqs0, dtype=np.int32))
+            ]
+        if node_reqs1:
+            pulls["g1"] = self._nodes_rest[
+                jnp.asarray(np.array(node_reqs1, dtype=np.int32))
+            ]
         if val_reqs:
-            vidx = np.array(
-                [self._rest_layout[l - 1][0] + i for l, i in val_reqs], dtype=np.int32
+            vidx = jnp.asarray(
+                np.array(
+                    [self._rest_layout[l - 1][0] + i for l, i in val_reqs],
+                    dtype=np.int32,
+                )
             )
-            vlo, vhi = jax.device_get(
-                (self._vals_lo[jnp.asarray(vidx)], self._vals_hi[jnp.asarray(vidx)])
-            )
-        else:
-            vlo = vhi = np.zeros(0, np.uint32)
+            pulls["vlo"] = self._vals_lo[vidx]
+            pulls["vhi"] = self._vals_hi[vidx]
         if val0_reqs:
             v0idx = jnp.asarray(np.array(val0_reqs, dtype=np.int32))
-            v0lo, v0hi = jax.device_get(
-                (self._lde[0][v0idx], self._lde[1][v0idx])
-            )
-        else:
-            v0lo = v0hi = np.zeros(0, np.uint32)
+            pulls["v0lo"] = self._lde[0][v0idx]
+            pulls["v0hi"] = self._lde[1][v0idx]
+        got = jax.device_get(pulls)
+        g0 = _cv_bytes(got["g0"]) if node_reqs0 else np.zeros((0, 32), np.uint8)
+        g1 = _cv_bytes(got["g1"]) if node_reqs1 else np.zeros((0, 32), np.uint8)
+        vlo = got.get("vlo", np.zeros(0, np.uint32))
+        vhi = got.get("vhi", np.zeros(0, np.uint32))
+        v0lo = got.get("v0lo", np.zeros(0, np.uint32))
+        v0hi = got.get("v0hi", np.zeros(0, np.uint32))
 
         def value_bytes(ref) -> bytes:
             kind, x = ref

@@ -79,6 +79,7 @@ class ColumnEngine:
         return [ColumnRoot(lb, self._commit(lb).root()) for lb in self.labels]
 
     def _build_device(self) -> None:
+        import jax
         import jax.numpy as jnp
 
         from ...ops import blake3_jax
@@ -88,21 +89,32 @@ class ColumnEngine:
             groups.setdefault(len(_label_prefix(lb)), []).append(lb)
         cv_parts = []
         order: List[str] = []
+        dev_roots = []
+        group_sizes = []
         for _plen, lbs in groups.items():
             prefixes = [_label_prefix(lb) for lb in lbs]
             if self._dc is not None:
                 idx = np.array([self._dc.labels.index(lb) for lb in lbs], np.int32)
-                cvs, croots = blake3_jax.columns_commit_from_planes(
-                    self._dc.lo, self._dc.hi, prefixes, self.chunk_log2, idx=idx
+                cvs, roots_dev = blake3_jax.columns_commit_from_planes(
+                    self._dc.lo, self._dc.hi, prefixes, self.chunk_log2,
+                    idx=idx, defer_pull=True,
                 )
             else:
                 vals = np.stack([self.tc.column_by_label(lb) for lb in lbs])
-                cvs, croots = blake3_jax.columns_commit_device(
-                    vals, prefixes, self.chunk_log2, resident=True
+                cvs, roots_dev = blake3_jax.columns_commit_device(
+                    vals, prefixes, self.chunk_log2, resident=True,
+                    defer_pull=True,
                 )
             cv_parts.append(cvs)
+            dev_roots.append(roots_dev)
+            group_sizes.append(len(lbs))
+            order += lbs
+        # one device->host pull for ALL groups' chunk roots (the tunnel
+        # round-trip dominates; per-group pulls cost ~100 ms each)
+        pulled = jax.device_get(dev_roots)
+        for roots_np, lbs in zip(pulled, (order[sum(group_sizes[:i]):sum(group_sizes[:i + 1])] for i in range(len(group_sizes)))):
+            croots = blake3_jax.croots_to_host(roots_np)
             for i, lb in enumerate(lbs):
-                order.append(lb)
                 self._croots[lb] = croots[i]
                 self._outer[lb] = MerkleTree.from_leaves(croots[i])
         self._dev_cvs = jnp.concatenate(cv_parts, axis=0)
@@ -146,11 +158,12 @@ class ColumnEngine:
             starts[i] = self._dev_label_idx[lb] * n + ci * chunk
             idxs[i] = row - ci * chunk
         flat = self._dev_cvs.reshape(-1, 8)
-        paths, _roots = blake3_jax.chunk_paths_device(
-            flat, starts, idxs, self.chunk_log2
+        paths_dev, roots_dev, finish = blake3_jax.chunk_paths_device(
+            flat, starts, idxs, self.chunk_log2, defer_pull=True
         )
 
         if self._dc is not None:
+            # batch the value gather with the path pull (one tunnel RTT)
             vidx = jnp.asarray(
                 np.array(
                     [
@@ -160,14 +173,21 @@ class ColumnEngine:
                     dtype=np.int32,
                 )
             )
-            vlo, vhi = jax.device_get(
-                (self._dc.lo.reshape(-1)[vidx], self._dc.hi.reshape(-1)[vidx])
+            paths_np, roots_np, vlo, vhi = jax.device_get(
+                (
+                    paths_dev,
+                    roots_dev,
+                    self._dc.lo.reshape(-1)[vidx],
+                    self._dc.hi.reshape(-1)[vidx],
+                )
             )
+            paths, _roots = finish(paths_np, roots_np)
 
             def value_le(i, lb, row):
                 return (int(vlo[i]) | (int(vhi[i]) << 32)).to_bytes(8, "little")
 
         else:
+            paths, _roots = finish(*jax.device_get((paths_dev, roots_dev)))
 
             def value_le(i, lb, row):
                 return G.to_le_bytes(self.tc.column_by_label(lb)[row]).tobytes()
