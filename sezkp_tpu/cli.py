@@ -218,6 +218,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     _init_tracing()
+    # Multi-host: wires this process into the pod-wide runtime when the
+    # SEZKP_COORDINATOR / SEZKP_NUM_PROCESSES / SEZKP_PROCESS_ID env vars
+    # are set (parallel/distributed.py); a no-op on single-host runs.
+    from .parallel.distributed import ensure_initialized
+
+    ensure_initialized()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -180,3 +180,18 @@ def test_sharded_column_engine_roots_and_opens(mesh8):
         assert (a.value_le, a.chunk_root, a.path_in_chunk, a.path_to_chunk) == (
             b.value_le, b.chunk_root, b.path_in_chunk, b.path_to_chunk
         )
+
+
+def test_distributed_noop_single_host(monkeypatch):
+    """ensure_initialized is a no-op without env config; helpers work on a
+    single-process runtime."""
+    from sezkp_tpu.parallel import distributed as D
+
+    monkeypatch.delenv(D.ENV_COORDINATOR, raising=False)
+    monkeypatch.delenv(D.ENV_NUM_PROCESSES, raising=False)
+    assert D.ensure_initialized() is False
+    assert D.is_coordinator() is True
+    lo, hi = D.process_shard_bounds(1000)
+    assert (lo, hi) == (0, 1000)
+    mesh = D.global_mesh()
+    assert mesh.devices.size >= 1
