@@ -6,6 +6,7 @@ import struct
 from dataclasses import dataclass
 
 from ..crypto import blake3
+from ..utils.cbor import U8Array
 
 DS_LEAF = "fold/leaf"
 DS_FOLD = "fold/merge"
@@ -18,7 +19,7 @@ class Commitment:
     len: int  # u32 leaf span
 
     def to_obj(self):
-        return {"root": list(self.root), "len": self.len}
+        return {"root": U8Array(self.root), "len": self.len}
 
     @staticmethod
     def from_obj(o):
@@ -32,7 +33,7 @@ class PiCommitment:
     digest: bytes
 
     def to_obj(self):
-        return list(self.digest)
+        return U8Array(self.digest)
 
     @staticmethod
     def from_obj(o):

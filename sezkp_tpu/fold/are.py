@@ -11,6 +11,7 @@ from dataclasses import dataclass, field
 from typing import Tuple
 
 from ..ops import goldilocks as G
+from ..utils.cbor import U8Array
 
 Q = 4
 _P = 0xFFFFFFFF00000001
@@ -25,11 +26,17 @@ class Pi:
 
     def to_obj(self):
         """Wire shape PiWire {ctrl_in, ctrl_out, flags, acc: [[u8;8];4]}."""
+        a0, a1, a2, a3 = self.acc
         return {
             "ctrl_in": self.ctrl_in,
             "ctrl_out": self.ctrl_out,
             "flags": self.flags,
-            "acc": [list(struct.pack("<Q", a)) for a in self.acc],
+            "acc": [
+                U8Array(a0.to_bytes(8, "little")),
+                U8Array(a1.to_bytes(8, "little")),
+                U8Array(a2.to_bytes(8, "little")),
+                U8Array(a3.to_bytes(8, "little")),
+            ],
         }
 
     @staticmethod
@@ -74,7 +81,7 @@ class InterfaceWitness:
         return {
             "left_ctrl_out": self.left_ctrl_out,
             "right_ctrl_in": self.right_ctrl_in,
-            "boundary_writes_digest": list(self.boundary_writes_digest),
+            "boundary_writes_digest": U8Array(self.boundary_writes_digest),
         }
 
     @staticmethod

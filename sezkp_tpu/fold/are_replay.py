@@ -13,6 +13,7 @@ from typing import Union
 
 from ..crypto import blake3
 from ..stark.v1.air import LeafIfacePublic, prove_iface_replay, verify_iface_replay
+from ..utils.cbor import U8Array
 from .are import InterfaceWitness, Pi
 
 DS_ARE_V1 = b"fold/are/v1"
@@ -23,7 +24,7 @@ class AreProofV1:
     mac: bytes  # 32
 
     def to_obj(self):
-        return {"V1Mac": list(self.mac)}
+        return {"V1Mac": U8Array(self.mac)}
 
 
 @dataclass
@@ -31,7 +32,7 @@ class AreProofV2:
     mac: bytes  # AreProofStark { mac: [u8;32] }
 
     def to_obj(self):
-        return {"V2Stark": {"mac": list(self.mac)}}
+        return {"V2Stark": {"mac": U8Array(self.mac)}}
 
 
 AreProof = Union[AreProofV1, AreProofV2]

@@ -94,13 +94,50 @@ def _mac_batch(template: _StreamTemplate, k: int, slots) -> np.ndarray:
 # ----------------------------- leaf batch -----------------------------------
 
 
-def _boundary_digests_batch(blocks: Sequence, head: bool) -> np.ndarray:
+class _LogView:
+    """Movement logs of a block sequence concatenated into flat matrices,
+    with per-block start/len tables — built ONCE so every digest batch is a
+    single fancy-index gather instead of 10k+ per-block numpy ops."""
+
+    def __init__(self, blocks: Sequence):
+        self.tau = blocks[0].tau if blocks else 0
+        self.lens = np.array([b.movement_log.n_steps for b in blocks], np.int64)
+        self.starts = np.zeros(len(blocks), np.int64)
+        np.cumsum(self.lens[:-1], out=self.starts[1:])
+        self.tm = np.concatenate(
+            [b.movement_log.tape_mv for b in blocks]
+        ).astype("<i4").view("<u4")  # [N, tau]
+        self.wf = np.concatenate(
+            [b.movement_log.write_flag for b in blocks]
+        ).astype("<u4")
+        self.ws = np.concatenate(
+            [b.movement_log.write_sym for b in blocks]
+        ).astype("<u4")
+        self.in_offs = np.stack([b.head_in_offsets for b in blocks]).astype(
+            np.int64
+        )  # [nb, tau]
+        self.out_offs = np.stack([b.head_out_offsets for b in blocks]).astype(
+            np.int64
+        )
+
+    def tri(self, idxs: np.ndarray, head: bool, take: int) -> np.ndarray:
+        """[k, take, tau, 3] (mv, wflag, wsym) rows for each block index —
+        head=True takes the first `take` steps, else the last `take`."""
+        base = self.starts[idxs] if head else self.starts[idxs] + self.lens[idxs] - take
+        rows = base[:, None] + np.arange(take, dtype=np.int64)[None, :]
+        return np.stack([self.tm[rows], self.wf[rows], self.ws[rows]], axis=3)
+
+
+def _boundary_digests_batch(
+    blocks: Sequence, head: bool, lv: "_LogView | None" = None
+) -> np.ndarray:
     """left-tail (head=False) or right-head digests for all blocks: [k, 32].
 
     Message: DS || tau u32 || per-tape (in_off i32, out_off i32) || take steps
     x tau x (mv i32, wflag u32, wsym u32). Blocks are grouped by (tau, take).
     """
     ds = b"sezkp/iface/right_head/v1" if head else b"sezkp/iface/left_tail/v1"
+    lv = lv or _LogView(blocks)
     out = np.empty((len(blocks), 32), dtype=np.uint8)
     groups: Dict[Tuple[int, int], List[int]] = {}
     for i, b in enumerate(blocks):
@@ -108,34 +145,27 @@ def _boundary_digests_batch(blocks: Sequence, head: bool) -> np.ndarray:
         groups.setdefault((b.tau, take), []).append(i)
     for (tau, take), idxs in groups.items():
         k = len(idxs)
-        msgs = []
-        for i in idxs:
-            b = blocks[i]
-            ml = b.movement_log
-            sl = slice(0, take) if head else slice(ml.n_steps - take, ml.n_steps)
-            offs = np.empty((tau, 2), dtype="<i4")
-            offs[:, 0] = b.head_in_offsets.astype(np.int64).astype("<i4")
-            offs[:, 1] = b.head_out_offsets.astype(np.int64).astype("<i4")
-            tri = np.stack(
-                [
-                    ml.tape_mv[sl].astype("<i4").view("<u4"),
-                    ml.write_flag[sl].astype("<u4"),
-                    ml.write_sym[sl].astype("<u4"),
-                ],
-                axis=2,
-            ).astype("<u4")
-            msgs.append(
-                ds
-                + np.uint32(tau).tobytes()
-                + offs.tobytes()
-                + tri.tobytes()
-            )
-        mat = np.frombuffer(b"".join(msgs), dtype=np.uint8).reshape(k, -1)
-        out[np.array(idxs)] = blake3.hash_many(mat)
+        ia = np.array(idxs)
+        offs = np.empty((k, tau, 2), dtype="<i4")
+        offs[:, :, 0] = lv.in_offs[ia]
+        offs[:, :, 1] = lv.out_offs[ia]
+        hdr = np.broadcast_to(
+            np.frombuffer(ds + np.uint32(tau).tobytes(), np.uint8),
+            (k, len(ds) + 4),
+        )
+        mat = np.concatenate(
+            [
+                hdr,
+                offs.view(np.uint8).reshape(k, -1),
+                lv.tri(ia, head, take).view(np.uint8).reshape(k, -1),
+            ],
+            axis=1,
+        )
+        out[ia] = blake3.hash_many(mat)
     return out
 
 
-def batch_leaf_proofs(blocks: Sequence):
+def batch_leaf_proofs(blocks: Sequence, lv: "_LogView | None" = None):
     """All leaf gadget results at once: [(pi, C, CryptoLeafProof)] in order.
 
     Identical to [CryptoLeaf.prove_leaf(b) for b in blocks]."""
@@ -143,8 +173,9 @@ def batch_leaf_proofs(blocks: Sequence):
     if k == 0:
         return []
 
-    lt = _boundary_digests_batch(blocks, head=False)  # [k, 32]
-    rh = _boundary_digests_batch(blocks, head=True)
+    lv = lv or _LogView(blocks)
+    lt = _boundary_digests_batch(blocks, head=False, lv=lv)  # [k, 32]
+    rh = _boundary_digests_batch(blocks, head=True, lv=lv)
 
     # pi limbs from digest prefixes
     lt64 = lt[:, :16].reshape(k, 2, 8).copy().view("<u8").reshape(k, 2)
@@ -225,9 +256,12 @@ def batch_leaf_proofs(blocks: Sequence):
 # ------------------------------ fold tree batch -----------------------------
 
 
-def _iface_digests_batch(blocks, pairs: List[Tuple[int, int]]) -> np.ndarray:
+def _iface_digests_batch(
+    blocks, pairs: List[Tuple[int, int]], lv: "_LogView | None" = None
+) -> np.ndarray:
     """interface_boundary_digest for (left_idx, right_idx) block pairs: [k, 32]."""
     ds = b"sezkp/iface/v1"
+    lv = lv or _LogView(blocks)
     out = np.empty((len(pairs), 32), dtype=np.uint8)
     groups: Dict[Tuple[int, int, int], List[int]] = {}
     for i, (li, ri) in enumerate(pairs):
@@ -235,38 +269,32 @@ def _iface_digests_batch(blocks, pairs: List[Tuple[int, int]]) -> np.ndarray:
         kl = min(IFACE_WINDOW_STEPS, l.movement_log.n_steps)
         kr = min(IFACE_WINDOW_STEPS, r.movement_log.n_steps)
         groups.setdefault((l.tau, kl, kr), []).append(i)
+    pl = np.array([p[0] for p in pairs], np.int64)
+    pr = np.array([p[1] for p in pairs], np.int64)
     for (tau, kl, kr), idxs in groups.items():
-        msgs = []
-        for i in idxs:
-            li, ri = pairs[i]
-            l, r = blocks[li], blocks[ri]
-            offs = np.empty((tau, 4), dtype="<i4")
-            offs[:, 0] = l.head_in_offsets.astype(np.int64).astype("<i4")
-            offs[:, 1] = l.head_out_offsets.astype(np.int64).astype("<i4")
-            offs[:, 2] = r.head_in_offsets.astype(np.int64).astype("<i4")
-            offs[:, 3] = r.head_out_offsets.astype(np.int64).astype("<i4")
-
-            def rows(b, head, take):
-                ml = b.movement_log
-                sl = slice(0, take) if head else slice(ml.n_steps - take, ml.n_steps)
-                return np.stack(
-                    [
-                        ml.tape_mv[sl].astype("<i4").view("<u4"),
-                        ml.write_flag[sl].astype("<u4"),
-                        ml.write_sym[sl].astype("<u4"),
-                    ],
-                    axis=2,
-                ).astype("<u4")
-
-            msgs.append(
-                ds
-                + np.uint32(tau).tobytes()
-                + offs.tobytes()
-                + rows(l, False, kl).tobytes()
-                + rows(r, True, kr).tobytes()
-            )
-        mat = np.frombuffer(b"".join(msgs), dtype=np.uint8).reshape(len(idxs), -1)
-        out[np.array(idxs)] = blake3.hash_many(mat)
+        k = len(idxs)
+        ia = np.array(idxs)
+        li = pl[ia]
+        ri = pr[ia]
+        offs = np.empty((k, tau, 4), dtype="<i4")
+        offs[:, :, 0] = lv.in_offs[li]
+        offs[:, :, 1] = lv.out_offs[li]
+        offs[:, :, 2] = lv.in_offs[ri]
+        offs[:, :, 3] = lv.out_offs[ri]
+        hdr = np.broadcast_to(
+            np.frombuffer(ds + np.uint32(tau).tobytes(), np.uint8),
+            (k, len(ds) + 4),
+        )
+        mat = np.concatenate(
+            [
+                hdr,
+                offs.view(np.uint8).reshape(k, -1),
+                lv.tri(li, False, kl).view(np.uint8).reshape(k, -1),
+                lv.tri(ri, True, kr).view(np.uint8).reshape(k, -1),
+            ],
+            axis=1,
+        )
+        out[ia] = blake3.hash_many(mat)
     return out
 
 
@@ -312,7 +340,8 @@ def run_pipeline_batched(blocks, opts: DriverOptions):
     if t == 0:
         return FoldProofBundle(0, (0, 0))
 
-    leaves = batch_leaf_proofs(blocks)
+    lv = _LogView(blocks)
+    leaves = batch_leaf_proofs(blocks, lv=lv)
     merges = _post_order_merges(t)
     k = len(merges)
 
@@ -327,7 +356,7 @@ def run_pipeline_batched(blocks, opts: DriverOptions):
 
     # interface digests for every merge (leaf-data only; batchable upfront)
     iface_digests = _iface_digests_batch(
-        blocks, [(mid - 1, mid) for (_lo, mid, _hi) in merges]
+        blocks, [(mid - 1, mid) for (_lo, mid, _hi) in merges], lv=lv
     )
 
     # topological rounds: a merge is ready when both children exist

@@ -13,6 +13,7 @@ from typing import Tuple
 from ..commit.merkle import leaf_hash
 from ..core.types import BlockSummary
 from ..crypto import blake3
+from ..utils.cbor import U8Array
 from ..crypto.transcript import Blake3Transcript
 from ..stark.v1.air import PiPublic, prove_leaf_pi, verify_leaf_pi
 from .api import Commitment, DS_FOLD, DS_LEAF, DS_WRAP, PiCommitment, commit_pi
@@ -44,11 +45,11 @@ class CryptoLeafProof:
                 "ctrl_out": p.ctrl_out,
                 "flags": p.flags,
                 "acc_limbs": list(p.acc_limbs),
-                "left_tail_digest": list(p.left_tail_digest),
-                "right_head_digest": list(p.right_head_digest),
+                "left_tail_digest": U8Array(p.left_tail_digest),
+                "right_head_digest": U8Array(p.right_head_digest),
             },
-            "proof": {"mac": list(self.proof_mac)},
-            "mac": list(self.mac),
+            "proof": {"mac": U8Array(self.proof_mac)},
+            "mac": U8Array(self.mac),
         }
 
     @staticmethod
@@ -134,7 +135,7 @@ class CryptoFoldProof:
         return {
             "iface": self.iface.to_obj(),
             "are": self.are.to_obj(),
-            "mac": list(self.mac),
+            "mac": U8Array(self.mac),
         }
 
     @staticmethod
@@ -215,7 +216,7 @@ class CryptoWrapProof:
     mac: bytes  # V1Mac variant
 
     def to_obj(self):
-        return {"V1Mac": list(self.mac)}
+        return {"V1Mac": U8Array(self.mac)}
 
     @staticmethod
     def from_obj(o) -> "CryptoWrapProof":

@@ -290,7 +290,8 @@ done:
 // types, excessive nesting — raises UnsupportedError so the Python
 // implementation takes over and produces its exact error/bytes.
 
-static PyObject *TaggedClass;  // set via set_tagged_class
+static PyObject *TaggedClass;   // set via set_tagged_class
+static PyObject *U8ArrayClass;  // set via set_u8array_class
 
 struct Enc {
   char *buf;
@@ -430,6 +431,23 @@ static int encode_obj(Enc *e, PyObject *obj) {
         }
       }
     }
+  } else if (U8ArrayClass && PyObject_IsInstance(obj, U8ArrayClass) == 1) {
+    // serde [u8; N]: CBOR array of small ints, held compactly as bytes
+    PyObject *data = PyObject_GetAttrString(obj, "data");
+    if (data && PyBytes_Check(data)) {
+      Py_ssize_t n = PyBytes_GET_SIZE(data);
+      const unsigned char *p = (const unsigned char *)PyBytes_AS_STRING(data);
+      if (enc_head(e, 4, (uint64_t)n)) {
+        ok = 1;
+        for (Py_ssize_t i = 0; i < n; i++) {
+          if (!enc_head(e, 0, p[i])) {
+            ok = 0;
+            break;
+          }
+        }
+      }
+    }
+    Py_XDECREF(data);
   } else if (TaggedClass && PyObject_IsInstance(obj, TaggedClass) == 1) {
     PyObject *tag = PyObject_GetAttrString(obj, "tag");
     PyObject *val = tag ? PyObject_GetAttrString(obj, "value") : nullptr;
@@ -470,6 +488,12 @@ static PyObject *py_set_tagged_class(PyObject *, PyObject *cls) {
   Py_RETURN_NONE;
 }
 
+static PyObject *py_set_u8array_class(PyObject *, PyObject *cls) {
+  Py_XDECREF(U8ArrayClass);
+  U8ArrayClass = Py_NewRef(cls);
+  Py_RETURN_NONE;
+}
+
 static PyObject *py_decode_at(PyObject *, PyObject *args) {
   Py_buffer buf;
   Py_ssize_t pos;
@@ -492,6 +516,8 @@ static PyMethodDef Methods[] = {
     {"dumps", py_dumps, METH_O, "dumps(obj) -> bytes"},
     {"set_tagged_class", py_set_tagged_class, METH_O,
      "register the Tagged wrapper class for encode"},
+    {"set_u8array_class", (PyCFunction)py_set_u8array_class, METH_O,
+     "register the U8Array wrapper class for encode"},
     {nullptr, nullptr, 0, nullptr},
 };
 

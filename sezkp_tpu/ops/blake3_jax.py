@@ -526,3 +526,145 @@ def croots_to_host(roots_np) -> np.ndarray:
         .view(np.uint8)
         .reshape(c, n_chunks, 32)
     )
+
+
+# ------- memory-bounded commit: segment scan, roots only (large n) ----------
+
+
+@lru_cache(maxsize=8)
+def _jit_columns_commit_roots_scan(
+    plen: int, n_cols: int, chunk_log2: int, seg_log2: int
+):
+    """Chunk roots for [C, n] planes WITHOUT keeping leaf CVs resident.
+
+    lax.scan over 2^seg_log2-row segments bounds the peak HLO temp to one
+    segment's messages/CVs (the vmapped whole-trace kernel materializes a
+    [C, n, 16] message temp — 16 GB at n = 2^22 — and an 8 GB CV buffer,
+    which OOMs a single chip). Roots are bit-identical; openings recompute
+    the queried chunks on device instead (chunk_paths_from_planes)."""
+
+    def f(lo_all, hi_all, idx, prefs):
+        lo = lo_all[idx]
+        hi = hi_all[idx]
+        n = lo.shape[1]
+        seg = 1 << seg_log2
+        n_seg = n // seg
+
+        def one_column_seg(slo, shi, pref):
+            cv = hash_leaves_u64_words(slo, shi, pref, plen)
+            width = 1 << chunk_log2
+            while width > 1:
+                cv = parent_level(cv)
+                width >>= 1
+            return cv  # [seg/chunk, 8]
+
+        def body(_, i):
+            slo = jax.lax.dynamic_slice_in_dim(lo, i * seg, seg, axis=1)
+            shi = jax.lax.dynamic_slice_in_dim(hi, i * seg, seg, axis=1)
+            roots = jax.vmap(one_column_seg)(slo, shi, prefs)
+            return None, roots  # [C, seg/chunk, 8]
+
+        _, roots = jax.lax.scan(body, None, jnp.arange(n_seg, dtype=jnp.int32))
+        # [n_seg, C, seg/chunk, 8] -> [C, n_chunks, 8]
+        return roots.transpose(1, 0, 2, 3).reshape(n_cols, -1, 8)
+
+    return jax.jit(f)
+
+
+def columns_commit_roots_scan(
+    lo, hi, prefixes, chunk_log2: int, idx, seg_log2: int = 16
+):
+    """Memory-bounded chunk roots for device-resident planes (no CV buffer).
+
+    Returns DEVICE uint32 [C, n_chunks, 8] (pull + croots_to_host later)."""
+    n = lo.shape[1]
+    seg_log2 = min(seg_log2, n.bit_length() - 1)
+    assert n % (1 << seg_log2) == 0 and (1 << seg_log2) >= (1 << chunk_log2)
+    plens = {len(p) for p in prefixes}
+    assert len(plens) == 1
+    plen = plens.pop()
+    prefs = jnp.asarray(np.stack([_prefix_words(p) for p in prefixes]))
+    idx = jnp.asarray(np.asarray(idx, dtype=np.int32))
+    return _jit_columns_commit_roots_scan(
+        plen, len(prefixes), chunk_log2, seg_log2
+    )(lo, hi, idx, prefs)
+
+
+@lru_cache(maxsize=8)
+def _jit_chunk_paths_from_planes(plen: int, chunk_log2: int, bucket: int):
+    """Recompute K queried chunks' trees from raw column planes and extract
+    (value, path, chunk root) per query — no resident CV buffer needed."""
+
+    def f(lo_all, hi_all, col_idx, starts, idx, prefs):
+        chunk = 1 << chunk_log2
+        offs = starts[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        flat_lo = lo_all.reshape(-1)
+        flat_hi = hi_all.reshape(-1)
+        base = col_idx[:, None] * lo_all.shape[1] + offs
+        slo = flat_lo[base.reshape(-1)].reshape(bucket, chunk)
+        shi = flat_hi[base.reshape(-1)].reshape(bucket, chunk)
+        cur = jax.vmap(lambda l, h, p: hash_leaves_u64_words(l, h, p, plen))(
+            slo, shi, prefs
+        )  # [K, chunk, 8]
+        vlo = jnp.take_along_axis(slo, idx[:, None].astype(jnp.int32), axis=1)[:, 0]
+        vhi = jnp.take_along_axis(shi, idx[:, None].astype(jnp.int32), axis=1)[:, 0]
+        cur_idx = idx
+        paths = []
+        m = chunk
+        while m > 1:
+            sib = (cur_idx ^ 1).astype(jnp.int32)
+            paths.append(
+                jnp.take_along_axis(cur, sib[:, None, None], axis=1)[:, 0, :]
+            )
+            cur = jax.vmap(parent_level)(cur)
+            cur_idx = cur_idx >> 1
+            m >>= 1
+        return jnp.stack(paths, axis=1), cur[:, 0, :], vlo, vhi
+
+    return jax.jit(f)
+
+
+def chunk_paths_from_planes(
+    lo_all, hi_all, col_indices, chunk_starts, idx_in_chunk, prefixes, chunk_log2: int
+):
+    """Openings against scan-committed columns: recompute each queried
+    chunk's tree on device from the raw planes (reference semantics:
+    recompute-on-open, openings.rs:278-498 — same paths, batched).
+
+    All prefixes must share one length (group by plen first). Returns
+    DEVICE (paths [K, d, 8], roots [K, 8], vlo [K], vhi [K]) plus a decoder
+    finish(...) -> (paths uint8 [K, d, 32], roots uint8 [K, 32], vlo, vhi)."""
+    k = len(chunk_starts)
+    bucket = max(8, 1 << (k - 1).bit_length()) if k else 8
+    plens = {len(p) for p in prefixes}
+    assert len(plens) == 1
+    plen = plens.pop()
+    col_idx = np.zeros(bucket, dtype=np.int32)
+    col_idx[:k] = np.asarray(col_indices, dtype=np.int32)
+    starts = np.zeros(bucket, dtype=np.int32)
+    starts[:k] = np.asarray(chunk_starts, dtype=np.int32)
+    idxs = np.zeros(bucket, dtype=np.uint32)
+    idxs[:k] = np.asarray(idx_in_chunk, dtype=np.uint32)
+    prefs = np.zeros((bucket, 16), dtype=np.uint32)
+    prefs[:k] = np.stack([_prefix_words(p) for p in prefixes])
+    prefs[k:] = prefs[:1] if k else 0
+    out = _jit_chunk_paths_from_planes(plen, chunk_log2, bucket)(
+        lo_all, hi_all, jnp.asarray(col_idx), jnp.asarray(starts),
+        jnp.asarray(idxs), jnp.asarray(prefs),
+    )
+
+    def finish(paths_np, roots_np, vlo_np, vhi_np):
+        d = paths_np.shape[1]
+        paths8 = (
+            np.ascontiguousarray(paths_np, dtype="<u4")
+            .view(np.uint8)
+            .reshape(bucket, d, 32)[:k]
+        )
+        roots8 = (
+            np.ascontiguousarray(roots_np, dtype="<u4")
+            .view(np.uint8)
+            .reshape(bucket, 32)[:k]
+        )
+        return paths8, roots8, vlo_np[:k], vhi_np[:k]
+
+    return out, finish

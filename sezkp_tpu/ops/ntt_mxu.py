@@ -175,6 +175,35 @@ def _w_digits(m_log2: int, inverse: bool, scale: int = 1):
 
 
 @lru_cache(maxsize=32)
+def _t_outer(l1: int, l2: int, l3: int, inverse: bool):
+    """Factored phase-A twiddle for three-factor sizes.
+
+    The monolithic table T1[k1, a2*m3+a3] = w_n^(k1*(a2*m3+a3)) is O(n) and
+    gets baked into the jitted program as a constant (a 256 MB compile
+    payload at n = 2^25 — over the remote-compile size limit). It factors
+    exactly: T1 = TA[k1, a2] * TB[k1, a3] with TA[k1, a2] = w_n^(m3*k1*a2)
+    and TB[k1, a3] = w_n^(k1*a3) — two tables of m1*m2 and m1*m3 elements.
+    TB rides phase A as a periodic column twiddle ([m1, m3], the a3 pattern
+    repeats every m3 columns); TA rides phase B as a per-k1 broadcast
+    ([m1, m2, 1] for legal Pallas blocks)."""
+    m1, m2, m3 = 1 << l1, 1 << l2, 1 << l3
+    n_log2 = l1 + l2 + l3
+    w = G.primitive_root_2exp(n_log2)
+    if inverse:
+        w = G.inv(w)
+    k1 = np.arange(m1, dtype=np.int64)
+    a2 = np.arange(m2, dtype=np.int64)
+    a3 = np.arange(m3, dtype=np.int64)
+    n_mask = (1 << n_log2) - 1  # exponents mod n (root has order n = 2^n_log2)
+    wp = ntt_host.powers(w, 1 << n_log2)
+    ta = wp[((m3 * k1[:, None] * a2[None, :]) & n_mask).astype(np.uint64)]
+    tb = wp[((k1[:, None] * a3[None, :]) & n_mask).astype(np.uint64)]
+    ta = FJ.pack(ta.reshape(m1, m2, 1))
+    tb = FJ.pack(tb)  # [m1, m3]
+    return ta, tb
+
+
+@lru_cache(maxsize=32)
 def _t_mid(m_mid_log2: int, m_last_log2: int, inverse: bool, transposed: bool):
     """Middle-phase twiddle w_r^(k2*b3) (r = m_mid*m_last), shared across
     every k1 batch. Layout [k2, b3] for the natural ("wx") middle phase, or
@@ -250,10 +279,13 @@ def _default_tile(m_log2: int, other: int) -> int:
     return min(other, max(128, 1 << max(_TILE_ELEMS_LOG2 - m_log2, 0)))
 
 
-def _dft_call(m_log2: int, other: int, axis: int, w, t=None, tile=None):
+def _dft_call(m_log2: int, other: int, axis: int, w, t=None, tile=None, t_period=None):
     """pallas_call wrapper: DFT along `axis` of a 2-D u32-plane pair.
 
-    axis=0: array [m, other], grid over column tiles; t full-size [m, other].
+    axis=0: array [m, other], grid over column tiles; t full-size [m, other]
+            unless t_period is given — then t is [m, t_period] and the
+            twiddle pattern repeats every t_period columns (host-tiled to
+            one tile when tile >= t_period, else a modular block map).
     axis=1: array [other, m], grid over row tiles."""
     m = 1 << m_log2
     interp = _interpret()
@@ -272,7 +304,20 @@ def _dft_call(m_log2: int, other: int, axis: int, w, t=None, tile=None):
     in_specs = [data_spec, data_spec, w_spec]
     operands = [w]
     if t is not None:
-        in_specs += [data_spec, data_spec]
+        if t_period is not None:
+            assert axis == 0
+            if tile >= t_period:
+                assert tile % t_period == 0
+                reps = tile // t_period
+                t = (jnp.tile(t[0], (1, reps)), jnp.tile(t[1], (1, reps)))
+                t_spec = pl.BlockSpec((m, tile), lambda i: (0, 0))
+            else:
+                assert t_period % tile == 0
+                period_blocks = t_period // tile
+                t_spec = pl.BlockSpec((m, tile), lambda i: (0, i % period_blocks))
+            in_specs += [t_spec, t_spec]
+        else:
+            in_specs += [data_spec, data_spec]
         operands += [t[0], t[1]]
 
     f = pl.pallas_call(
@@ -294,7 +339,7 @@ def _dft_call(m_log2: int, other: int, axis: int, w, t=None, tile=None):
     return apply
 
 
-def _batched_kernel(mc_log2: int, cols: int, twiddle: bool, mode: str):
+def _batched_kernel(mc_log2: int, cols: int, twiddle: bool, mode: str, pre: bool = False):
     """Batched-phase body: one k1 batch of a 3-D layout, no HBM transposes.
 
     mode="wx": contract the block's *leading* axis via Y = W @ X with X
@@ -312,11 +357,24 @@ def _batched_kernel(mc_log2: int, cols: int, twiddle: bool, mode: str):
     mc = 1 << mc_log2
 
     def kernel(alo_ref, ahi_ref, w_ref, *rest):
+        rest = list(rest)
+        if pre:
+            talo_ref, tahi_ref = rest[:2]
+            rest = rest[2:]
         if twiddle:
-            tlo_ref, thi_ref, olo_ref, ohi_ref = rest
-        else:
-            olo_ref, ohi_ref = rest
-        digs = _digits(alo_ref[0, :, :], ahi_ref[0, :, :])
+            tlo_ref, thi_ref = rest[:2]
+            rest = rest[2:]
+        olo_ref, ohi_ref = rest
+        a_lo = alo_ref[0, :, :]
+        a_hi = ahi_ref[0, :, :]
+        if pre:
+            # TA half of the factored phase-A twiddle: x *= TA[k1, a2]
+            # (broadcast [mc, 1] over the [mc, cols] block; the TB half is
+            # a periodic column twiddle inside phase A itself)
+            a_lo, a_hi = FJ.mul(
+                (a_lo, a_hi), (talo_ref[0, :, :], tahi_ref[0, :, :])
+            )
+        digs = _digits(a_lo, a_hi)
         w = w_ref[:, :]
         span = cols
         if mode == "wx":
@@ -352,13 +410,19 @@ def _batched_kernel(mc_log2: int, cols: int, twiddle: bool, mode: str):
     return kernel
 
 
-def _batched_call(m1: int, mc_log2: int, cols: int, w, t=None, mode: str = "xw_t"):
+def _batched_call(
+    m1: int, mc_log2: int, cols: int, w, t=None, mode: str = "xw_t", pre=None
+):
     """Batched DFT on a [m1, ., .] 3-D layout: grid over k1.
 
     mode="wx":      [m1, mc, cols] -> [m1, mc, cols] (contract leading axis)
     mode="xw_t":    [m1, mc, cols] -> [m1, cols, mc] (contract leading axis,
                     blocks transposed)
-    mode="xw_last": [m1, rows=cols, mc] -> same shape (contract last axis)"""
+    mode="xw_last": [m1, rows=cols, mc] -> same shape (contract last axis)
+
+    pre: optional factored input twiddle ta from _t_outer ([m1, mc, 1]);
+    each k1 block of the input is multiplied by TA[k1, :, None] before the
+    DFT."""
     mc = 1 << mc_log2
     interp = _interpret()
     if mode == "xw_last":
@@ -372,12 +436,17 @@ def _batched_call(m1: int, mc_log2: int, cols: int, w, t=None, mode: str = "xw_t
     w_spec = pl.BlockSpec(tuple(w.shape), lambda i: (0, 0))
     in_specs = [in_spec, in_spec, w_spec]
     operands = [w]
+    if pre is not None:
+        talo, tahi = pre
+        ta_spec = pl.BlockSpec((1, in_shape[0], 1), lambda i: (i, 0, 0))
+        in_specs += [ta_spec, ta_spec]
+        operands += [talo, tahi]
     if t is not None:
         t_spec = pl.BlockSpec(out_shape, lambda i: (0, 0))
         in_specs += [t_spec, t_spec]
         operands += [t[0], t[1]]
     f = pl.pallas_call(
-        _batched_kernel(mc_log2, cols, t is not None, mode),
+        _batched_kernel(mc_log2, cols, t is not None, mode, pre is not None),
         grid=(m1,),
         in_specs=in_specs,
         out_specs=[out_spec, out_spec],
@@ -420,19 +489,27 @@ def _build(n_log2: int, inverse: bool):
     assert len(logs) == 3, "n_log2 > 30 not supported"
     l1, l2, l3 = logs
     m1, m2, m3 = 1 << l1, 1 << l2, 1 << l3
-    t1 = ntt_pallas._twiddle_matrix(l1, l2 + l3, inverse)
-    phase_a = _dft_call(l1, m2 * m3, 0, _w_digits(l1, inverse), t=t1)
+    # phase-A twiddle in factored form: the monolithic O(n) table would be
+    # a program constant that blows the remote-compile payload past its
+    # size limit at n >= 2^25. TB ([m1, m3], periodic in columns) rides
+    # phase A; TA ([m1, m2, 1]) rides phase B as a per-k1 broadcast.
+    ta, tb = _t_outer(l1, l2, l3, inverse)
+    phase_a = _dft_call(l1, m2 * m3, 0, _w_digits(l1, inverse), t=tb, t_period=m3)
     w2, w3 = _w_digits(l2, inverse), _w_digits(l3, inverse, inv_n)
     if m3 >= 128:
         # fast aligned pair: natural layouts throughout
         # [k1, a2, b3] -> [k1, k2, b3] (contract middle axis, W @ X)
-        phase_b = _batched_call(m1, l2, m3, w2, _t_mid(l2, l3, inverse, False), mode="wx")
+        phase_b = _batched_call(
+            m1, l2, m3, w2, _t_mid(l2, l3, inverse, False), mode="wx", pre=ta
+        )
         # [k1, k2, b3] -> [k1, k2, k3] (contract last axis, X @ W)
         phase_c = _batched_call(m1, l3, m2, w3, mode="xw_last")
     else:
         # small-m3 pair: transposed contractions (sublane-only slicing)
         # [k1, a2, b3] -> [k1, b3, k2] -> [k1, k2, k3] (transposition cancels)
-        phase_b = _batched_call(m1, l2, m3, w2, _t_mid(l2, l3, inverse, True), mode="xw_t")
+        phase_b = _batched_call(
+            m1, l2, m3, w2, _t_mid(l2, l3, inverse, True), mode="xw_t", pre=ta
+        )
         phase_c = _batched_call(m1, l3, m2, w3, mode="xw_t")
 
     def f(lo_flat, hi_flat):

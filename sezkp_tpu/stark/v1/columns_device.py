@@ -109,37 +109,40 @@ def _jit_columns(n: int, tau: int, nb: int):
         tmv32 = tape_mv.astype(jnp.int32)  # [tau, n]
         # heads: global cumsum minus cumsum at block entry, anchored at
         # window-left (entry = off_in; see columns.py for the deliberate
-        # deviation from the reference's entry-anchored heads)
+        # deviation from the reference's entry-anchored heads).
+        # The cumsum runs on the [tau, n] slab (full lane width); everything
+        # downstream is a per-tape 1-D [n] op — 2-D [tau, n] gathers/selects
+        # trip XLA into transposed {0,1} layouts with 16-128x tile padding
+        # (observed OOM at n = 2^22).
         csum = jnp.cumsum(tmv32, axis=1)  # [tau, n] (n < 2^31 safe)
-        start_csum = (
-            jnp.concatenate(
-                [jnp.zeros((tau, 1), jnp.int32), csum[:, block_start[1:] - 1]],
-                axis=1,
-            )
-            if nb > 1
-            else jnp.zeros((tau, 1), jnp.int32)
-        )  # [tau, nb]
-        head_rel = (
-            csum - start_csum[:, block_of] + in_off.astype(jnp.int32)[:, block_of]
-        )  # [tau, n]
 
-        zero_hi = jnp.zeros((tau, n), jnp.uint32)
-        mv = from_i64_small(tmv32)
-        head = from_i64_small(head_rel)
-        per_tape = {
-            "mv": mv,
-            "wflag": (wflag.astype(jnp.uint32), zero_hi),
-            "wsym": (wsym.astype(jnp.uint32), zero_hi),
-            "head": head,
-            "winlen": (win_len[:, block_of], zero_hi),
-            "in_off": (in_off[:, block_of], zero_hi),
-            "out_off": (out_off[:, block_of], zero_hi),
-        }
+        zero_hi = jnp.zeros(n, jnp.uint32)
+        per_tape = {"mv": [], "wflag": [], "wsym": [], "head": [], "winlen": [],
+                    "in_off": [], "out_off": []}
+        for r in range(tau):
+            csum_r = csum[r]
+            start_csum_r = (
+                jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32), csum_r[block_start[1:] - 1]]
+                )
+                if nb > 1
+                else jnp.zeros((1,), jnp.int32)
+            )  # [nb]
+            head_rel_r = (
+                csum_r - start_csum_r[block_of]
+                + in_off[r].astype(jnp.int32)[block_of]
+            )  # [n]
+            per_tape["mv"].append(from_i64_small(tmv32[r]))
+            per_tape["wflag"].append((wflag[r].astype(jnp.uint32), zero_hi))
+            per_tape["wsym"].append((wsym[r].astype(jnp.uint32), zero_hi))
+            per_tape["head"].append(from_i64_small(head_rel_r))
+            per_tape["winlen"].append((win_len[r][block_of], zero_hi))
+            per_tape["in_off"].append((in_off[r][block_of], zero_hi))
+            per_tape["out_off"].append((out_off[r][block_of], zero_hi))
         for name in ("mv", "wflag", "wsym", "head", "winlen", "in_off", "out_off"):
-            lo2, hi2 = per_tape[name]
             for r in range(tau):
-                cols_lo.append(lo2[r])
-                cols_hi.append(hi2[r])
+                cols_lo.append(per_tape[name][r][0])
+                cols_hi.append(per_tape[name][r][1])
         return jnp.stack(cols_lo), jnp.stack(cols_hi)
 
     return jax.jit(f)

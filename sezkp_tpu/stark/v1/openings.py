@@ -78,6 +78,17 @@ class ColumnEngine:
             return [ColumnRoot(lb, self._outer[lb].root()) for lb in self.labels]
         return [ColumnRoot(lb, self._commit(lb).root()) for lb in self.labels]
 
+    @staticmethod
+    def _cv_budget_bytes() -> int:
+        """Resident leaf-CV budget: above this the CVs would crowd out HBM
+        ([C, n, 8] u32 is ~8 GB at n = 2^22 with 59 columns), so commitments
+        switch to the segment-scanned roots-only kernel and openings
+        recompute the queried chunks on device (reference recompute-on-open
+        semantics, openings.rs:278-498)."""
+        import os
+
+        return int(os.environ.get("SEZKP_CV_BUDGET_BYTES", 4 << 30))
+
     def _build_device(self) -> None:
         import jax
         import jax.numpy as jnp
@@ -87,6 +98,10 @@ class ColumnEngine:
         groups: Dict[int, List[str]] = {}
         for lb in self.labels:
             groups.setdefault(len(_label_prefix(lb)), []).append(lb)
+        resident = (
+            self._dc is None
+            or len(self.labels) * self._n * 32 <= self._cv_budget_bytes()
+        )
         cv_parts = []
         order: List[str] = []
         dev_roots = []
@@ -95,17 +110,24 @@ class ColumnEngine:
             prefixes = [_label_prefix(lb) for lb in lbs]
             if self._dc is not None:
                 idx = np.array([self._dc.labels.index(lb) for lb in lbs], np.int32)
-                cvs, roots_dev = blake3_jax.columns_commit_from_planes(
-                    self._dc.lo, self._dc.hi, prefixes, self.chunk_log2,
-                    idx=idx, defer_pull=True,
-                )
+                if resident:
+                    cvs, roots_dev = blake3_jax.columns_commit_from_planes(
+                        self._dc.lo, self._dc.hi, prefixes, self.chunk_log2,
+                        idx=idx, defer_pull=True,
+                    )
+                    cv_parts.append(cvs)
+                else:
+                    roots_dev = blake3_jax.columns_commit_roots_scan(
+                        self._dc.lo, self._dc.hi, prefixes, self.chunk_log2,
+                        idx=idx,
+                    )
             else:
                 vals = np.stack([self.tc.column_by_label(lb) for lb in lbs])
                 cvs, roots_dev = blake3_jax.columns_commit_device(
                     vals, prefixes, self.chunk_log2, resident=True,
                     defer_pull=True,
                 )
-            cv_parts.append(cvs)
+                cv_parts.append(cvs)
             dev_roots.append(roots_dev)
             group_sizes.append(len(lbs))
             order += lbs
@@ -117,7 +139,7 @@ class ColumnEngine:
             for i, lb in enumerate(lbs):
                 self._croots[lb] = croots[i]
                 self._outer[lb] = MerkleTree.from_leaves(croots[i])
-        self._dev_cvs = jnp.concatenate(cv_parts, axis=0)
+        self._dev_cvs = jnp.concatenate(cv_parts, axis=0) if cv_parts else None
         self._dev_label_idx = {lb: i for i, lb in enumerate(order)}
         self._dev = True
 
@@ -142,6 +164,8 @@ class ColumnEngine:
         ALL requests are extracted in one device call."""
         if not self._dev:
             return [self.open(lb, r) for lb, r in requests]
+        if self._dev_cvs is None:
+            return self._open_batch_recompute(requests)
 
         import jax
         import jax.numpy as jnp
@@ -208,6 +232,61 @@ class ColumnEngine:
                 )
             )
         return out
+
+
+    def _open_batch_recompute(self, requests) -> List[Opening]:
+        """Openings without resident CVs: recompute each queried chunk's
+        tree on device from the raw column planes (one jit per prefix-length
+        group, ONE pull for everything). Paths/roots/values are identical to
+        the resident path (cross-tested)."""
+        import jax
+
+        from ...ops import blake3_jax
+
+        chunk = 1 << self.chunk_log2
+        by_plen: Dict[int, List[int]] = {}
+        for i, (lb, row) in enumerate(requests):
+            by_plen.setdefault(len(_label_prefix(lb)), []).append(i)
+
+        pending = []
+        for _plen, req_idx in by_plen.items():
+            col_indices = []
+            starts = []
+            idxs = []
+            prefixes = []
+            for i in req_idx:
+                lb, row = requests[i]
+                ci = row // chunk
+                col_indices.append(self._dc.labels.index(lb))
+                starts.append(ci * chunk)
+                idxs.append(row - ci * chunk)
+                prefixes.append(_label_prefix(lb))
+            out, finish = blake3_jax.chunk_paths_from_planes(
+                self._dc.lo, self._dc.hi, col_indices, starts, idxs,
+                prefixes, self.chunk_log2,
+            )
+            pending.append((req_idx, out, finish))
+
+        pulled = jax.device_get([p[1] for p in pending])
+        results: List[Opening] = [None] * len(requests)
+        for (req_idx, _out, finish), got in zip(pending, pulled):
+            paths8, roots8, vlo, vhi = finish(*got)
+            for j, i in enumerate(req_idx):
+                lb, row = requests[i]
+                ci = row // chunk
+                ii = row - ci * chunk
+                results[i] = Opening(
+                    value_le=(int(vlo[j]) | (int(vhi[j]) << 32)).to_bytes(8, "little"),
+                    index=row,
+                    chunk_index=ci,
+                    index_in_chunk=ii,
+                    chunk_root=self._croots[lb][ci].tobytes(),
+                    path_in_chunk=[
+                        paths8[j, l].tobytes() for l in range(self.chunk_log2)
+                    ],
+                    path_to_chunk=self._outer[lb].open(ci),
+                )
+        return results
 
 
 class StreamingColumnEngine:

@@ -67,6 +67,7 @@ __all__ = [
     "CBORDecoder",
     "encode_into",
     "Tagged",
+    "U8Array",
 ]
 
 
@@ -90,8 +91,49 @@ class Tagged:
         )
 
 
+class U8Array:
+    """A serde ``[u8; N]`` held compactly as bytes but encoded as a CBOR
+    ARRAY of small ints (serde's default array encoding — NOT a byte
+    string). Building one of these is ~10x cheaper than a Python list of
+    ints, which dominates large fold-bundle serialization otherwise."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data: bytes):
+        self.data = bytes(data)
+
+    def __bytes__(self) -> bytes:
+        return self.data
+
+    def __iter__(self):
+        return iter(self.data)
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, i):
+        return self.data[i]
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"U8Array({self.data!r})"
+
+    def __eq__(self, other: object) -> bool:
+        if isinstance(other, U8Array):
+            return self.data == other.data
+        if isinstance(other, (list, tuple)):
+            return list(self.data) == list(other)
+        if isinstance(other, (bytes, bytearray)):
+            return self.data == bytes(other)
+        return NotImplemented
+
+    def __hash__(self) -> int:
+        return hash(self.data)
+
+
 if _native is not None:
     _native.set_tagged_class(Tagged)
+    if hasattr(_native, "set_u8array_class"):
+        _native.set_u8array_class(U8Array)
 
 
 # ---------------------------------------------------------------------------
@@ -155,6 +197,10 @@ def encode_into(out: bytearray, obj: Any) -> None:
         for k, v in obj.items():
             encode_into(out, k)
             encode_into(out, v)
+    elif isinstance(obj, U8Array):
+        _encode_head(out, 4, len(obj.data))
+        for b in obj.data:
+            _encode_head(out, 0, b)
     elif isinstance(obj, Tagged):
         _encode_head(out, 6, obj.tag)
         encode_into(out, obj.value)

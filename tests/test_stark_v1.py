@@ -195,3 +195,36 @@ def test_v1_composition_vanishes_on_honest_trace():
     alphas = air.Alphas.from_list(list(range(3, 11)))
     acc = air.compose_all_rows(tc, alphas)
     assert not np.any(acc), f"nonzero at rows {np.nonzero(acc)[0][:5]}"
+
+
+def test_scan_commit_and_recompute_openings_match_resident(monkeypatch):
+    """Large-n path: segment-scanned roots (no resident CVs) + device chunk
+    recompute on open must equal the host ColumnCommit exactly."""
+    from sezkp_tpu.stark.v1.columns import TraceColumns
+    from sezkp_tpu.stark.v1.columns_device import DeviceColumns
+    from sezkp_tpu.stark.v1.openings import ColumnEngine
+
+    blocks = demo_blocks(n_blocks=(1 << 12) // 64, t=64, tau=2)
+    tc = TraceColumns.build(blocks)
+    host = ColumnEngine(tc, chunk_log2=10)
+    want_roots = host.build_roots()
+
+    dc = DeviceColumns(blocks)
+    eng = ColumnEngine(None, chunk_log2=10, dc=dc)
+    monkeypatch.setattr(ColumnEngine, "_cv_budget_bytes", staticmethod(lambda: 0))
+    eng._build_device()
+    assert eng._dev_cvs is None  # scan path taken
+    got_roots = eng.build_roots()
+    assert [(r.label, r.root) for r in got_roots] == [
+        (r.label, r.root) for r in want_roots
+    ]
+
+    reqs = [("mv_0", 5), ("head_1", 1 << 11), ("input_mv", (1 << 12) - 1),
+            ("is_first", 0), ("wflag_1", 1027)]
+    got = eng.open_batch(reqs)
+    want = host.open_batch(reqs)
+    for g, w in zip(got, want):
+        assert g.value_le == w.value_le
+        assert g.chunk_root == w.chunk_root
+        assert g.path_in_chunk == w.path_in_chunk
+        assert g.path_to_chunk == w.path_to_chunk
