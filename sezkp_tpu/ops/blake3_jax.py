@@ -166,6 +166,50 @@ def parent_level(nodes):
     return compress_batch(m, 64, int(CHUNK_START | CHUNK_END | ROOT))
 
 
+# -------------------- plane-major (word-major) variants ---------------------
+# Row-major [N, 8]/[N, 16] CV buffers tile as (8, 128) with only 8/16 lanes
+# occupied — 8-16x HBM padding, which OOMs the FRI tree at 2^25 leaves.
+# These variants keep CVs as [8, N] planes (full lane occupancy) end-to-end.
+
+
+def hash_leaves_u64_planes(lo, hi, pref_words, plen: int):
+    """Hash N messages of (prefix || 8-byte LE value) -> uint32 [8, N] CV
+    planes. Same semantics as hash_leaves_u64_words, word-major layout."""
+    total = plen + 8
+    assert total <= 64
+    n = lo.shape[0]
+    m = [jnp.broadcast_to(pref_words[i], (n,)) for i in range(16)]
+    word0 = plen // 4
+    sh = (plen % 4) * 8
+    vals = [lo.astype(U32), hi.astype(U32)]
+    if sh == 0:
+        m[word0] = vals[0]
+        m[word0 + 1] = vals[1]
+    else:
+        m[word0] = m[word0] | (vals[0] << sh)
+        m[word0 + 1] = (vals[0] >> (32 - sh)) | (vals[1] << sh)
+        m[word0 + 2] = vals[1] >> (32 - sh)
+    from . import blake3_pallas
+
+    m16 = jnp.stack(m, axis=0)  # [16, N] — natural (8,128) tiling
+    return blake3_pallas.compress_planes(
+        m16, total, int(CHUNK_START | CHUNK_END | ROOT)
+    )
+
+
+def parent_level_planes(cv):
+    """One Merkle level on [8, N] CV planes -> [8, N/2].
+
+    Parent message words 0-7 = left child CV (even columns), 8-15 = right
+    child CV (odd columns)."""
+    from . import blake3_pallas
+
+    m16 = jnp.concatenate([cv[:, 0::2], cv[:, 1::2]], axis=0)  # [16, N/2]
+    return blake3_pallas.compress_planes(
+        m16, 64, int(CHUNK_START | CHUNK_END | ROOT)
+    )
+
+
 def merkle_root_pow2(leaves):
     """Perfect-tree root over uint32 [2^k, 8] leaf CVs -> [1, 8]."""
     cur = leaves

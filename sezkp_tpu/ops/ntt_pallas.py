@@ -247,31 +247,55 @@ def _inv(a: FJ.F2) -> FJ.F2:
 
 
 @lru_cache(maxsize=8)
-def _deep_lde_glue(base_log2: int, lde_log2: int, shift: int):
-    """Coset scale + zero-pad + DEEP divide around the two Pallas NTTs."""
+def _deep_lde_tables(base_log2: int, lde_log2: int, shift: int):
+    """Device tables for the DEEP-LDE glue (shift powers and coset points).
+
+    Kept OUT of the jitted programs' closures: a closed-over device array is
+    baked into the compile payload as a constant, and the [lde_n] coset
+    table alone is 256 MB at lde_n = 2^25 — past the remote-compile size
+    limit. As jit *arguments* they cost nothing."""
     n_base = 1 << base_log2
     lde_n = 1 << lde_log2
     shift_pows = FJ.pack(ntt_host.powers(shift, n_base))
     xs = FJ.pack(
         G.mul(np.uint64(shift), ntt_host.powers(G.primitive_root_2exp(lde_log2), lde_n))
     )
+    return (
+        (jnp.asarray(shift_pows[0]), jnp.asarray(shift_pows[1])),
+        (jnp.asarray(xs[0]), jnp.asarray(xs[1])),
+    )
+
+
+@lru_cache(maxsize=8)
+def _deep_lde_glue(base_log2: int, lde_log2: int, shift: int):
+    """Coset scale + zero-pad + DEEP divide around the two Pallas NTTs."""
+    n_base = 1 << base_log2
+    lde_n = 1 << lde_log2
+    shift_pows, xs = _deep_lde_tables(base_log2, lde_log2, shift)
 
     @jax.jit
-    def scale_pad(clo, chi):
-        s = FJ.mul((clo, chi), shift_pows)
+    def scale_pad_(clo, chi, splo, sphi):
+        s = FJ.mul((clo, chi), (splo, sphi))
         return (
             jnp.zeros(lde_n, jnp.uint32).at[:n_base].set(s[0]),
             jnp.zeros(lde_n, jnp.uint32).at[:n_base].set(s[1]),
         )
 
     @jax.jit
-    def deep_divide(ylo, yhi, z_lo, z_hi):
+    def deep_divide_(ylo, yhi, z_lo, z_hi, xslo, xshi):
         from . import ntt_jax
 
         denom = FJ.sub(
-            xs, (jnp.broadcast_to(z_lo, (lde_n,)), jnp.broadcast_to(z_hi, (lde_n,)))
+            (xslo, xshi),
+            (jnp.broadcast_to(z_lo, (lde_n,)), jnp.broadcast_to(z_hi, (lde_n,))),
         )
         return FJ.mul((ylo, yhi), ntt_jax._pow_p_minus_2(denom))
+
+    def scale_pad(clo, chi):
+        return scale_pad_(clo, chi, shift_pows[0], shift_pows[1])
+
+    def deep_divide(ylo, yhi, z_lo, z_hi):
+        return deep_divide_(ylo, yhi, z_lo, z_hi, xs[0], xs[1])
 
     return scale_pad, deep_divide
 

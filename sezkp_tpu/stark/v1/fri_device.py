@@ -28,6 +28,15 @@ def _jnp():
     return jnp
 
 
+def _hash_leaves_planes(lo, hi):
+    """[n] value planes -> [8, n] CV planes (empty prefix)."""
+    from ...ops import blake3_jax as BJ
+
+    return BJ.hash_leaves_u64_planes(
+        lo, hi, _jnp().asarray(BJ._prefix_words(b"")), 0
+    )
+
+
 @lru_cache(maxsize=4)
 def _jit_phase1(n_log2: int):
     import jax
@@ -35,13 +44,15 @@ def _jit_phase1(n_log2: int):
     from ...ops import blake3_jax as BJ
 
     def f(lo, hi):
-        cv = BJ.hash_leaves_u64(lo, hi)
+        # plane-major CVs ([8, N]) throughout: row-major [N, 8] buffers pad
+        # 16x under the (8, 128) tiling and OOM the 2^25-leaf tree
+        cv = _hash_leaves_planes(lo, hi)
         levels = [cv]
         cur = cv
-        while cur.shape[0] > 1:
-            cur = BJ.parent_level(cur)
+        while cur.shape[1] > 1:
+            cur = BJ.parent_level_planes(cur)
             levels.append(cur)
-        return _jnp().concatenate(levels, axis=0)  # [2n-1, 8]
+        return _jnp().concatenate(levels, axis=1)  # [8, 2n-1]
 
     return jax.jit(f)
 
@@ -79,16 +90,16 @@ def _jit_phase2(n_log2: int, dev_layers: int):
             cur = folded
             vals_flat.append(folded[0])
             vals_flat.append(folded[1])
-            cv = BJ.hash_leaves_u64(folded[0], folded[1])
+            cv = _hash_leaves_planes(folded[0], folded[1])
             node_levels = [cv]
-            while node_levels[-1].shape[0] > 1:
-                node_levels.append(BJ.parent_level(node_levels[-1]))
+            while node_levels[-1].shape[1] > 1:
+                node_levels.append(BJ.parent_level_planes(node_levels[-1]))
             nodes_flat += node_levels
-            roots.append(node_levels[-1][0])
+            roots.append(node_levels[-1][:, 0])
         return (
             jnp.concatenate(vals_flat[0::2]),
             jnp.concatenate(vals_flat[1::2]),
-            jnp.concatenate(nodes_flat, axis=0),
+            jnp.concatenate(nodes_flat, axis=1),
             jnp.stack(roots),
             cur[0],
             cur[1],
@@ -128,7 +139,7 @@ class DeviceFri:
             self._lde = (jnp.asarray(p[0]), jnp.asarray(p[1]))
         self.n_log2 = self.n.bit_length() - 1
         assert 1 << self.n_log2 == self.n
-        self._nodes0 = None  # [2n-1, 8] layer-0 tree (leaf CVs first)
+        self._nodes0 = None  # [8, 2n-1] layer-0 tree planes (leaf CVs first)
         self._vals_lo = None  # folded layer values (layers 1..) flat
         self._vals_hi = None
         self._nodes_rest = None
@@ -156,7 +167,7 @@ class DeviceFri:
         self._nodes0 = _jit_phase1(self.n_log2)(self._lde[0], self._lde[1])
         import jax
 
-        root = jax.device_get(self._nodes0[-1])
+        root = jax.device_get(self._nodes0[:, -1])  # [8]
         return _cv_bytes(root.reshape(1, 8))[0].tobytes()
 
     def commit_rest(self, betas: List[int]) -> List[bytes]:
@@ -307,12 +318,12 @@ class DeviceFri:
         pulls = {}
         if node_reqs0:
             pulls["g0"] = self._nodes0[
-                jnp.asarray(np.array(node_reqs0, dtype=np.int32))
-            ]
+                :, jnp.asarray(np.array(node_reqs0, dtype=np.int32))
+            ].T
         if node_reqs1:
             pulls["g1"] = self._nodes_rest[
-                jnp.asarray(np.array(node_reqs1, dtype=np.int32))
-            ]
+                :, jnp.asarray(np.array(node_reqs1, dtype=np.int32))
+            ].T
         if val_reqs:
             vidx = jnp.asarray(
                 np.array(
