@@ -117,6 +117,43 @@ def compress_batch(m, block_len: int, flags: int, out_words: int = 8):
     return jnp.concatenate([out, ext], axis=0).T
 
 
+def compress_planes_staged(m16, block_len: int, flags: int, out_words: int = 8):
+    """Word-major staged compression: uint32 [16, N] planes -> [out_words, N].
+
+    Same semantics as blake3_pallas.compress_planes, but the 7 rounds run
+    under lax.fori_loop with a gather-permuted schedule — the only form that
+    XLA:CPU compiles in sane time (the unrolled form trips an exponential
+    compile pathology; see compress_batch). Used as the off-TPU fallback for
+    the plane-major device paths (FRI trees, column commits)."""
+    n = m16.shape[1]
+    iv_rows = jnp.broadcast_to(jnp.asarray(IV, U32)[:, None], (8, n))
+    tail = jnp.stack(
+        [
+            jnp.broadcast_to(jnp.asarray(IV[0], U32), (n,)),
+            jnp.broadcast_to(jnp.asarray(IV[1], U32), (n,)),
+            jnp.broadcast_to(jnp.asarray(IV[2], U32), (n,)),
+            jnp.broadcast_to(jnp.asarray(IV[3], U32), (n,)),
+            jnp.zeros(n, U32),
+            jnp.zeros(n, U32),
+            jnp.full(n, np.uint32(block_len), U32),
+            jnp.full(n, np.uint32(flags), U32),
+        ]
+    )
+    v0 = jnp.concatenate([iv_rows, tail], axis=0)  # [16, N]
+    perm = jnp.asarray(MSG_PERM)
+
+    def body(_r, carry):
+        v, msg = carry
+        return _round(v, msg), msg[perm]
+
+    v, _ = jax.lax.fori_loop(0, 7, body, (v0, m16.astype(U32)))
+    out = v[:8] ^ v[8:16]
+    if out_words == 8:
+        return out
+    ext = v[8:16] ^ iv_rows
+    return jnp.concatenate([out, ext], axis=0)
+
+
 def _prefix_words(prefix: bytes) -> np.ndarray:
     pw = np.zeros(16 * 4, dtype=np.uint8)
     pw[: len(prefix)] = np.frombuffer(prefix, dtype=np.uint8)

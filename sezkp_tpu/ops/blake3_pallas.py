@@ -130,7 +130,18 @@ def compress_planes(m16, block_len: int, flags: int, out_words: int = 8,
     """
     n = m16.shape[1]
     if interpret is None:
-        interpret = _interpret()
+        if _interpret():
+            # Off-TPU: the unrolled interpret-mode kernel trips an
+            # exponential XLA:CPU compile pathology when several levels are
+            # fused into one jit (FRI trees). Use the staged fori_loop path —
+            # bit-identical, fast to compile. Pass interpret=True explicitly
+            # to exercise the Pallas kernel itself (tests do).
+            from . import blake3_jax
+
+            return blake3_jax.compress_planes_staged(
+                m16, block_len, flags, out_words
+            )
+        interpret = False
     tile_r = min(TILE_R, max(1, -(-n // 128)))
     width = tile_r * 128
     n_pad = -(-n // width) * width

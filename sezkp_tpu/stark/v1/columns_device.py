@@ -196,6 +196,103 @@ def _w_base_pows_device(n_log2: int):
     return jnp.asarray(t[0]), jnp.asarray(t[1])
 
 
+def compose_rows_core(
+    lo, hi, tau: int, a_lo, a_hi, mc_lo, mc_hi, xs_lo, xs_hi,
+    head_next, mv_next,
+):
+    """Base composition + ZK masks over [C, m] column slabs (traced body).
+
+    lo/hi: [C, m] column limbs in all_labels order; a: [11] alphas;
+    mc: [n_masks, mask_deg] mask coefficients; xs: [m] base-domain points;
+    head_next/mv_next: [tau, m] next-row slabs (caller supplies the wrap or
+    cross-shard halo). Shared by the single-chip device pipeline and the
+    mesh-sharded prover so the AIR math cannot drift between them.
+
+    All per-tape terms are computed on [tau, m] slabs at once and the final
+    sum is tree-reduced — keeping the dependency chain shallow (XLA:CPU
+    compile time explodes on deep elementwise chains).
+    """
+    import jax.numpy as jnp
+
+    from ...ops import goldilocks_jax as FJ
+
+    M16 = np.uint32(0xFFFF)
+    m = lo.shape[1]
+    n_masks, mask_deg = mc_lo.shape
+
+    def slab(base):
+        return lo[base : base + tau], hi[base : base + tau]
+
+    def alpha(i, shape):
+        return (
+            jnp.broadcast_to(a_lo[i], shape),
+            jnp.broadcast_to(a_hi[i], shape),
+        )
+
+    sh = (tau, m)
+    one = (jnp.ones(sh, jnp.uint32), jnp.zeros(sh, jnp.uint32))
+    is_first = (jnp.broadcast_to(lo[1], sh), jnp.broadcast_to(hi[1], sh))
+    is_last = (jnp.broadcast_to(lo[2], sh), jnp.broadcast_to(hi[2], sh))
+    one_minus_last = FJ.sub(one, is_last)
+
+    mv = slab(3)
+    flg = slab(3 + tau)
+    sym = slab(3 + 2 * tau)
+    head = slab(3 + 3 * tau)
+    wlen = slab(3 + 4 * tau)
+    ioff = slab(3 + 5 * tau)
+    ooff = slab(3 + 6 * tau)
+
+    terms = []
+    terms.append(FJ.mul(alpha(0, sh), FJ.mul(flg, FJ.sub(flg, one))))
+    terms.append(
+        FJ.mul(alpha(1, sh), FJ.mul(mv, FJ.mul(FJ.sub(mv, one), FJ.add(mv, one))))
+    )
+    hu = FJ.sub(FJ.sub(head_next, head), mv_next)
+    terms.append(FJ.mul(alpha(2, sh), FJ.mul(one_minus_last, hu)))
+
+    head_low = (head[0] & M16, jnp.zeros(sh, jnp.uint32))
+    terms.append(FJ.mul(alpha(4, sh), FJ.mul(flg, FJ.sub(head, head_low))))
+    slack = FJ.sub(FJ.sub(wlen, one), head)
+    slack_low = (slack[0] & M16, jnp.zeros(sh, jnp.uint32))
+    terms.append(FJ.mul(alpha(6, sh), FJ.mul(flg, FJ.sub(slack, slack_low))))
+    sym_low = (sym[0] & np.uint32(0xF), jnp.zeros(sh, jnp.uint32))
+    terms.append(FJ.mul(alpha(8, sh), FJ.mul(flg, FJ.sub(sym, sym_low))))
+
+    terms.append(
+        FJ.mul(alpha(9, sh), FJ.mul(is_first, FJ.sub(FJ.sub(head, mv), ioff)))
+    )
+    terms.append(FJ.mul(alpha(10, sh), FJ.mul(is_last, FJ.sub(head, ooff))))
+
+    # ZK masks on [m] (appended after the tau-reduction)
+    xs = (xs_lo, xs_hi)
+    mask_terms = []
+    for k in range(n_masks):
+        mk = (jnp.zeros(m, jnp.uint32), jnp.zeros(m, jnp.uint32))
+        for d in range(mask_deg - 1, -1, -1):
+            c = (
+                jnp.broadcast_to(mc_lo[k, d], (m,)),
+                jnp.broadcast_to(mc_hi[k, d], (m,)),
+            )
+            mk = FJ.add(FJ.mul(mk, xs), c)
+        mask_terms.append(mk)
+
+    # tree-reduce the [tau, m] terms, then the tau axis, then masks
+    while len(terms) > 1:
+        nxt = [FJ.add(terms[i], terms[i + 1]) for i in range(0, len(terms) - 1, 2)]
+        if len(terms) & 1:
+            nxt.append(terms[-1])
+        terms = nxt
+    acc2d = terms[0]
+    parts = [(acc2d[0][r], acc2d[1][r]) for r in range(tau)] + mask_terms
+    while len(parts) > 1:
+        nxt = [FJ.add(parts[i], parts[i + 1]) for i in range(0, len(parts) - 1, 2)]
+        if len(parts) & 1:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
+
+
 @lru_cache(maxsize=8)
 def _jit_compose(n: int, tau: int, n_masks: int, mask_deg: int):
     import jax
@@ -207,90 +304,17 @@ def _jit_compose(n: int, tau: int, n_masks: int, mask_deg: int):
 
     def f(lo, hi, a_lo, a_hi, mc_lo, mc_hi, xs_lo, xs_hi):
         # lo/hi: [C, n]; a: [11] alphas; mc: [n_masks, mask_deg]; xs: [n]
-        # All per-tape terms are computed on [tau, n] slabs at once and the
-        # final sum is tree-reduced — keeping the dependency chain shallow
-        # (XLA:CPU compile time explodes on deep elementwise chains).
         def slab(base):
             return lo[base : base + tau], hi[base : base + tau]
 
-        def alpha(i, shape):
-            return (
-                jnp.broadcast_to(a_lo[i], shape),
-                jnp.broadcast_to(a_hi[i], shape),
-            )
-
-        sh = (tau, n)
-        one = (jnp.ones(sh, jnp.uint32), jnp.zeros(sh, jnp.uint32))
-        is_first = (
-            jnp.broadcast_to(lo[1], sh), jnp.broadcast_to(hi[1], sh)
-        )
-        is_last = (
-            jnp.broadcast_to(lo[2], sh), jnp.broadcast_to(hi[2], sh)
-        )
-        one_minus_last = FJ.sub(one, is_last)
-
-        mv = slab(3)
-        flg = slab(3 + tau)
-        sym = slab(3 + 2 * tau)
         head = slab(3 + 3 * tau)
-        wlen = slab(3 + 4 * tau)
-        ioff = slab(3 + 5 * tau)
-        ooff = slab(3 + 6 * tau)
+        mv = slab(3)
         head_next = (jnp.roll(head[0], -1, axis=1), jnp.roll(head[1], -1, axis=1))
         mv_next = (jnp.roll(mv[0], -1, axis=1), jnp.roll(mv[1], -1, axis=1))
-
-        terms = []
-        terms.append(FJ.mul(alpha(0, sh), FJ.mul(flg, FJ.sub(flg, one))))
-        terms.append(
-            FJ.mul(alpha(1, sh), FJ.mul(mv, FJ.mul(FJ.sub(mv, one), FJ.add(mv, one))))
+        return compose_rows_core(
+            lo, hi, tau, a_lo, a_hi, mc_lo, mc_hi, xs_lo, xs_hi,
+            head_next, mv_next,
         )
-        hu = FJ.sub(FJ.sub(head_next, head), mv_next)
-        terms.append(FJ.mul(alpha(2, sh), FJ.mul(one_minus_last, hu)))
-
-        head_low = (head[0] & M16, jnp.zeros(sh, jnp.uint32))
-        terms.append(FJ.mul(alpha(4, sh), FJ.mul(flg, FJ.sub(head, head_low))))
-        slack = FJ.sub(FJ.sub(wlen, one), head)
-        slack_low = (slack[0] & M16, jnp.zeros(sh, jnp.uint32))
-        terms.append(FJ.mul(alpha(6, sh), FJ.mul(flg, FJ.sub(slack, slack_low))))
-        sym_low = (sym[0] & np.uint32(0xF), jnp.zeros(sh, jnp.uint32))
-        terms.append(FJ.mul(alpha(8, sh), FJ.mul(flg, FJ.sub(sym, sym_low))))
-
-        terms.append(
-            FJ.mul(alpha(9, sh), FJ.mul(is_first, FJ.sub(FJ.sub(head, mv), ioff)))
-        )
-        terms.append(FJ.mul(alpha(10, sh), FJ.mul(is_last, FJ.sub(head, ooff))))
-
-        # ZK masks on [n] (appended after the tau-reduction)
-        xs = (xs_lo, xs_hi)
-        mask_terms = []
-        for k in range(n_masks):
-            m = (jnp.zeros(n, jnp.uint32), jnp.zeros(n, jnp.uint32))
-            for d in range(mask_deg - 1, -1, -1):
-                c = (
-                    jnp.broadcast_to(mc_lo[k, d], (n,)),
-                    jnp.broadcast_to(mc_hi[k, d], (n,)),
-                )
-                m = FJ.add(FJ.mul(m, xs), c)
-            mask_terms.append(m)
-
-        # tree-reduce the [tau, n] terms, then the tau axis, then masks
-        while len(terms) > 1:
-            nxt = [
-                FJ.add(terms[i], terms[i + 1]) for i in range(0, len(terms) - 1, 2)
-            ]
-            if len(terms) & 1:
-                nxt.append(terms[-1])
-            terms = nxt
-        acc2d = terms[0]
-        parts = [(acc2d[0][r], acc2d[1][r]) for r in range(tau)] + mask_terms
-        while len(parts) > 1:
-            nxt = [
-                FJ.add(parts[i], parts[i + 1]) for i in range(0, len(parts) - 1, 2)
-            ]
-            if len(parts) & 1:
-                nxt.append(parts[-1])
-            parts = nxt
-        return parts[0]
 
     return jax.jit(f)
 

@@ -60,6 +60,7 @@ def test_pallas_compress_matches_xla(n, blen, out_words):
     """The Pallas VMEM-resident compression (TPU hot path) must be
     bit-identical to the staged XLA kernel (and hence the host oracle).
     Runs in interpret mode off-TPU."""
+    import jax
     import jax.numpy as jnp
 
     from sezkp_tpu.ops import blake3_pallas as BP
@@ -68,5 +69,8 @@ def test_pallas_compress_matches_xla(n, blen, out_words):
     m = rng.integers(0, 2**32, (n, 16), dtype=np.uint32)
     flags = int(BJ.CHUNK_START | BJ.CHUNK_END | BJ.ROOT)
     a = np.asarray(BJ.compress_batch(jnp.asarray(m), blen, flags, out_words))
-    b = np.asarray(BP.compress_rows(jnp.asarray(m), blen, flags, out_words))
+    interp = jax.default_backend() != "tpu"
+    b = np.asarray(
+        BP.compress_rows(jnp.asarray(m), blen, flags, out_words, interpret=interp or None)
+    )
     assert np.array_equal(a, b)
