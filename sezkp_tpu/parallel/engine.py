@@ -135,14 +135,35 @@ class ShardedColumnEngine:
         )
 
 
-def prove_v1_sharded(blocks, manifest_root: bytes, mesh: Mesh):
-    """Full v1 proof with column commitments computed across the mesh.
+class ShardedProverEngine(ShardedColumnEngine):
+    """Column engine + the full sharded hot path (composition, DEEP coset
+    LDE, FRI folds/trees) over the mesh. prove_v1 detects `deep_lde_fri`
+    and routes the post-commitment pipeline through it."""
+
+    def deep_lde_fri(self, alphas, mask_coeffs, blow_log2: int, shift: int,
+                     z: int):
+        from .prove_sharded import ShardedPipeline
+
+        return ShardedPipeline(self.mesh, self.tc).deep_lde_fri(
+            alphas, mask_coeffs, blow_log2, shift, z
+        )
+
+
+def prove_v1_sharded(blocks, manifest_root: bytes, mesh: Mesh,
+                     commitments_only: bool = False):
+    """Full v1 proof with the hot path computed across the mesh: column
+    commitments, AIR composition, the DEEP coset LDE (four-step NTTs with
+    one all_to_all each), and all FRI folds + layer Merkle trees run as
+    SPMD programs over `mesh`.
 
     Byte-identical to the single-chip `prove_v1` (same transcript schedule,
-    same roots/paths); only the commitment compute is distributed."""
+    same roots/paths/proof bytes; cross-tested in tests/test_parallel.py).
+    `commitments_only=True` restores the round-1 behavior (only column
+    commitments sharded) for comparison."""
     from ..stark.v1.columns import TraceColumns
     from ..stark.v1.prover import prove_v1
 
     tc = TraceColumns.build(blocks)
-    eng = ShardedColumnEngine(tc, mesh)
+    cls = ShardedColumnEngine if commitments_only else ShardedProverEngine
+    eng = cls(tc, mesh)
     return prove_v1(blocks, manifest_root, engine=eng, tc=tc)

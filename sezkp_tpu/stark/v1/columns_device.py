@@ -208,65 +208,71 @@ def compose_rows_core(
     cross-shard halo). Shared by the single-chip device pipeline and the
     mesh-sharded prover so the AIR math cannot drift between them.
 
-    All per-tape terms are computed on [tau, m] slabs at once and the final
-    sum is tree-reduced — keeping the dependency chain shallow (XLA:CPU
-    compile time explodes on deep elementwise chains).
+    Every term is a 1-D [m] op on an input row; the final sum is
+    tree-reduced. The earlier [tau, m]-slab formulation extracted rows of a
+    deeply fused 2-D graph for the tau reduction, which trips an
+    exponential-recompute fusion pathology in XLA:CPU (~2300x slowdown at
+    m=512; TPU compiles either form fine). Per-tape rows keep every slice on
+    a materialized input buffer, and [m] ops already fill the vector lanes
+    at production sizes.
     """
     import jax.numpy as jnp
 
     from ...ops import goldilocks_jax as FJ
 
     M16 = np.uint32(0xFFFF)
+    M4 = np.uint32(0xF)
     m = lo.shape[1]
     n_masks, mask_deg = mc_lo.shape
 
-    def slab(base):
-        return lo[base : base + tau], hi[base : base + tau]
+    def row(i):
+        return lo[i], hi[i]
 
-    def alpha(i, shape):
+    def alpha(i):
         return (
-            jnp.broadcast_to(a_lo[i], shape),
-            jnp.broadcast_to(a_hi[i], shape),
+            jnp.broadcast_to(a_lo[i], (m,)),
+            jnp.broadcast_to(a_hi[i], (m,)),
         )
 
-    sh = (tau, m)
-    one = (jnp.ones(sh, jnp.uint32), jnp.zeros(sh, jnp.uint32))
-    is_first = (jnp.broadcast_to(lo[1], sh), jnp.broadcast_to(hi[1], sh))
-    is_last = (jnp.broadcast_to(lo[2], sh), jnp.broadcast_to(hi[2], sh))
+    one = (jnp.ones(m, jnp.uint32), jnp.zeros(m, jnp.uint32))
+    is_first = row(1)
+    is_last = row(2)
     one_minus_last = FJ.sub(one, is_last)
 
-    mv = slab(3)
-    flg = slab(3 + tau)
-    sym = slab(3 + 2 * tau)
-    head = slab(3 + 3 * tau)
-    wlen = slab(3 + 4 * tau)
-    ioff = slab(3 + 5 * tau)
-    ooff = slab(3 + 6 * tau)
-
     terms = []
-    terms.append(FJ.mul(alpha(0, sh), FJ.mul(flg, FJ.sub(flg, one))))
-    terms.append(
-        FJ.mul(alpha(1, sh), FJ.mul(mv, FJ.mul(FJ.sub(mv, one), FJ.add(mv, one))))
-    )
-    hu = FJ.sub(FJ.sub(head_next, head), mv_next)
-    terms.append(FJ.mul(alpha(2, sh), FJ.mul(one_minus_last, hu)))
+    for r in range(tau):
+        mv = row(3 + r)
+        flg = row(3 + tau + r)
+        sym = row(3 + 2 * tau + r)
+        head = row(3 + 3 * tau + r)
+        wlen = row(3 + 4 * tau + r)
+        ioff = row(3 + 5 * tau + r)
+        ooff = row(3 + 6 * tau + r)
+        hn = (head_next[0][r], head_next[1][r])
+        mn = (mv_next[0][r], mv_next[1][r])
 
-    head_low = (head[0] & M16, jnp.zeros(sh, jnp.uint32))
-    terms.append(FJ.mul(alpha(4, sh), FJ.mul(flg, FJ.sub(head, head_low))))
-    slack = FJ.sub(FJ.sub(wlen, one), head)
-    slack_low = (slack[0] & M16, jnp.zeros(sh, jnp.uint32))
-    terms.append(FJ.mul(alpha(6, sh), FJ.mul(flg, FJ.sub(slack, slack_low))))
-    sym_low = (sym[0] & np.uint32(0xF), jnp.zeros(sh, jnp.uint32))
-    terms.append(FJ.mul(alpha(8, sh), FJ.mul(flg, FJ.sub(sym, sym_low))))
+        terms.append(FJ.mul(alpha(0), FJ.mul(flg, FJ.sub(flg, one))))
+        terms.append(
+            FJ.mul(alpha(1), FJ.mul(mv, FJ.mul(FJ.sub(mv, one), FJ.add(mv, one))))
+        )
+        hu = FJ.sub(FJ.sub(hn, head), mn)
+        terms.append(FJ.mul(alpha(2), FJ.mul(one_minus_last, hu)))
 
-    terms.append(
-        FJ.mul(alpha(9, sh), FJ.mul(is_first, FJ.sub(FJ.sub(head, mv), ioff)))
-    )
-    terms.append(FJ.mul(alpha(10, sh), FJ.mul(is_last, FJ.sub(head, ooff))))
+        head_low = (head[0] & M16, jnp.zeros(m, jnp.uint32))
+        terms.append(FJ.mul(alpha(4), FJ.mul(flg, FJ.sub(head, head_low))))
+        slack = FJ.sub(FJ.sub(wlen, one), head)
+        slack_low = (slack[0] & M16, jnp.zeros(m, jnp.uint32))
+        terms.append(FJ.mul(alpha(6), FJ.mul(flg, FJ.sub(slack, slack_low))))
+        sym_low = (sym[0] & M4, jnp.zeros(m, jnp.uint32))
+        terms.append(FJ.mul(alpha(8), FJ.mul(flg, FJ.sub(sym, sym_low))))
 
-    # ZK masks on [m] (appended after the tau-reduction)
+        terms.append(
+            FJ.mul(alpha(9), FJ.mul(is_first, FJ.sub(FJ.sub(head, mv), ioff)))
+        )
+        terms.append(FJ.mul(alpha(10), FJ.mul(is_last, FJ.sub(head, ooff))))
+
+    # ZK masks on [m]
     xs = (xs_lo, xs_hi)
-    mask_terms = []
     for k in range(n_masks):
         mk = (jnp.zeros(m, jnp.uint32), jnp.zeros(m, jnp.uint32))
         for d in range(mask_deg - 1, -1, -1):
@@ -275,22 +281,14 @@ def compose_rows_core(
                 jnp.broadcast_to(mc_hi[k, d], (m,)),
             )
             mk = FJ.add(FJ.mul(mk, xs), c)
-        mask_terms.append(mk)
+        terms.append(mk)
 
-    # tree-reduce the [tau, m] terms, then the tau axis, then masks
     while len(terms) > 1:
         nxt = [FJ.add(terms[i], terms[i + 1]) for i in range(0, len(terms) - 1, 2)]
         if len(terms) & 1:
             nxt.append(terms[-1])
         terms = nxt
-    acc2d = terms[0]
-    parts = [(acc2d[0][r], acc2d[1][r]) for r in range(tau)] + mask_terms
-    while len(parts) > 1:
-        nxt = [FJ.add(parts[i], parts[i + 1]) for i in range(0, len(parts) - 1, 2)]
-        if len(parts) & 1:
-            nxt.append(parts[-1])
-        parts = nxt
-    return parts[0]
+    return terms[0]
 
 
 @lru_cache(maxsize=8)

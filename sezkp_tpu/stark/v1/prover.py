@@ -177,7 +177,11 @@ def prove_v1(
 
     # ---- base composition + ZK masks + DEEP coset LDE ----
     fri_eng = None
-    if device_pipeline:
+    if engine is not None and hasattr(engine, "deep_lde_fri"):
+        # mesh-sharded hot path: composition, LDE, and FRI run as SPMD
+        # programs over the engine's device mesh (parallel/prove_sharded.py)
+        fri_eng = engine.deep_lde_fri(alphas, mask_coeffs, blow_log2, shift, z)
+    elif device_pipeline:
         from ...ops import ntt_pallas
         from .columns_device import compose_device
         from .fri_device import DeviceFri
