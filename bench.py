@@ -1,9 +1,11 @@
 """Benchmark entry point: prints ONE JSON line for the driver.
 
-Metric: forward NTT throughput on the flagship TPU kernel at n = 2^24
-(the prime cost driver of STARK v1 proving; reference microbench:
+Primary metric: forward NTT throughput on the flagship TPU kernel at
+n = 2^24 (the prime cost driver of STARK v1 proving; reference microbench:
 crates/sezkp-ffts/benches/ntt.rs measures the same transform in
-elements/sec).
+elements/sec). Extra fields in the same JSON object carry the full-prove
+wall-clocks (T=32768 quick-start config and T=2^20) and the derived MXU
+roofline fraction — see ROOFLINE.md for the arithmetic.
 
 Timing is amortized over a chain of CHAIN dependent transforms inside one
 jit, so it measures the kernel itself rather than per-dispatch overhead
@@ -29,8 +31,12 @@ BASELINE_PTS_PER_SEC = 2.0e6
 K = 24
 CHAIN = 4
 
+# TPU v5e (this image's chip) public peak specs
+V5E_INT8_TOPS = 394.7e12
+V5E_HBM_BYTES_PER_S = 819e9
 
-def main() -> None:
+
+def _bench_ntt():
     import numpy as np
     import jax
 
@@ -45,7 +51,8 @@ def main() -> None:
     lo = jax.device_put(lo)
     hi = jax.device_put(hi)
 
-    if jax.default_backend() == "tpu":
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
         from sezkp_tpu.ops import ntt_mxu as NM
 
         f = NM._build(K, False)
@@ -67,8 +74,60 @@ def main() -> None:
         out = chained(lo, hi)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / (iters * CHAIN)
-
     pts_per_sec = n / dt
+
+    roofline = None
+    if on_tpu:
+        from sezkp_tpu.ops.ntt_mxu import NDIG, _factor_logs
+
+        # int8-MXU ops per point: phases x digit-pairs x 2 ops x factor size
+        # (ROOFLINE.md derives this; NDIG^2 digit-pair matmuls per phase)
+        ops_per_point = sum(
+            (NDIG * NDIG) * 2 * (1 << m_log2) for m_log2 in _factor_logs(K)
+        )
+        sol_pts_per_sec = V5E_INT8_TOPS / ops_per_point
+        roofline = {
+            "ops_per_point": ops_per_point,
+            "mxu_sol_pts_per_sec": round(sol_pts_per_sec),
+            "fraction_of_mxu_roofline": round(pts_per_sec / sol_pts_per_sec, 3),
+        }
+    return pts_per_sec, roofline
+
+
+def _bench_prove(t_steps: int, b: int, tau: int):
+    """Warm STARK v1 prove wall-clock (one warm-up run compiles/caches)."""
+    from sezkp_tpu.stark.v1.prover import prove_v1
+    from sezkp_tpu.trace.generator import generate_trace
+    from sezkp_tpu.trace.partition import partition_trace
+
+    blocks = partition_trace(generate_trace(t_steps, tau), b)
+    root = bytes([7]) * 32
+    prove_v1(blocks, root)  # warm (compile or cache hit)
+    t0 = time.perf_counter()
+    prove_v1(blocks, root)
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    from sezkp_tpu.utils.config import enable_compile_cache
+
+    enable_compile_cache()
+
+    pts_per_sec, roofline = _bench_ntt()
+
+    extra = {}
+    if roofline:
+        extra["roofline"] = roofline
+    try:
+        extra["stark_v1_prove_s_T32768_b512_tau8"] = round(
+            _bench_prove(32768, 512, 8), 3
+        )
+        extra["stark_v1_prove_s_T2pow20_b512_tau8"] = round(
+            _bench_prove(1 << 20, 512, 8), 3
+        )
+    except Exception as e:  # never break the driver contract
+        extra["prove_bench_error"] = repr(e)[:200]
+
     print(
         json.dumps(
             {
@@ -76,6 +135,7 @@ def main() -> None:
                 "value": round(pts_per_sec),
                 "unit": "points/s",
                 "vs_baseline": round(pts_per_sec / BASELINE_PTS_PER_SEC, 2),
+                "extra": extra,
             }
         )
     )

@@ -25,6 +25,14 @@ python -m sezkp_tpu prove --backend stark-v0 --blocks "$W/blocks.cbor" \
 python -m sezkp_tpu verify --backend stark-v0 --blocks "$W/blocks.cbor" \
     --manifest "$W/manifest.cbor" --proof "$W/proof_v0.cbor" --assume-committed
 
+echo "== stark v1 =="
+python -m sezkp_tpu simulate --t 4096 --b 64 --tau 2 --out-blocks "$W/blocks_v1.cbor"
+python -m sezkp_tpu commit --blocks "$W/blocks_v1.cbor" --out "$W/manifest_v1.cbor"
+python -m sezkp_tpu prove --backend stark --blocks "$W/blocks_v1.cbor" \
+    --manifest "$W/manifest_v1.cbor" --out "$W/proof_v1.cbor"
+python -m sezkp_tpu verify --backend stark --blocks "$W/blocks_v1.cbor" \
+    --manifest "$W/manifest_v1.cbor" --proof "$W/proof_v1.cbor"
+
 echo "== fold balanced (in-memory path needs .cbor blocks, as in the reference) =="
 python -m sezkp_tpu prove --backend fold --blocks "$W/blocks.cbor" \
     --manifest "$W/manifest.cbor" --out "$W/proof_fold.cbor" --assume-committed

@@ -218,6 +218,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     _init_tracing()
+    from .utils.config import enable_compile_cache
+
+    enable_compile_cache()
     # Multi-host: wires this process into the pod-wide runtime when the
     # SEZKP_COORDINATOR / SEZKP_NUM_PROCESSES / SEZKP_PROCESS_ID env vars
     # are set (parallel/distributed.py); a no-op on single-host runs.

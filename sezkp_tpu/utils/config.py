@@ -40,3 +40,27 @@ def load_profile(path: str) -> BenchProfile:
 
 def env(key: str, default: str | None = None) -> str | None:
     return os.environ.get(ENV_KEYS.get(key, key), default)
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    TPU compiles of the production prover are minutes through the tunnel;
+    the cache turns every later process's compile into a disk load. Called
+    by the CLI and bench entry points; SEZKP_COMPILE_CACHE=0 disables,
+    SEZKP_COMPILE_CACHE=<dir> overrides the location."""
+    env = os.environ.get("SEZKP_COMPILE_CACHE", "")
+    if env == "0":
+        return
+    if path is None:
+        path = env or os.path.expanduser("~/.cache/sezkp-jax")
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -76,3 +76,26 @@ def test_verify_rejects_corrupted_stream(ws):
     with pytest.raises(Exception):
         cli.main(["verify", "--backend", "fold", "--blocks", blocks,
                   "--manifest", manifest, "--proof", proof, "--assume-committed"])
+
+
+def test_full_pipeline_stark_v1(ws):
+    """stark (v1) CLI leg pinned in CI: simulate -> commit -> prove ->
+    verify, plus tamper rejection (VERDICT round-1 weak #6). t=4096 keeps
+    the domain above DOMAIN_MIN_LOG2 without padding."""
+    blocks = os.path.join(ws, "blocks.cbor")
+    manifest = os.path.join(ws, "manifest.cbor")
+    proof = os.path.join(ws, "proof.cbor")
+    run(["simulate", "--t", "4096", "--b", "64", "--tau", "2", "--out-blocks", blocks])
+    run(["commit", "--blocks", blocks, "--out", manifest])
+    run(["prove", "--backend", "stark", "--blocks", blocks, "--manifest", manifest,
+         "--out", proof])
+    run(["verify", "--backend", "stark", "--blocks", blocks, "--manifest", manifest,
+         "--proof", proof])
+
+    data = bytearray(open(proof, "rb").read())
+    data[len(data) // 2] ^= 0x40
+    bad = os.path.join(ws, "proof_bad.cbor")
+    open(bad, "wb").write(bytes(data))
+    with pytest.raises(Exception):
+        run(["verify", "--backend", "stark", "--blocks", blocks,
+             "--manifest", manifest, "--proof", bad])

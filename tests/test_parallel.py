@@ -281,3 +281,82 @@ def test_distributed_noop_single_host(monkeypatch):
     assert (lo, hi) == (0, 1000)
     mesh = D.global_mesh()
     assert mesh.devices.size >= 1
+
+
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multiprocess_distributed_commit_and_prove(tmp_path, nproc):
+    """REAL multi-process run: N OS processes join one jax.distributed
+    runtime via the SEZKP_COORDINATOR/.._NUM_PROCESSES/.._PROCESS_ID env
+    contract (parallel/distributed.py), shard the ingest by
+    process_shard_bounds, allgather digests, and all derive the identical
+    manifest root and proof bytes as the sequential single-process run
+    (VERDICT round-1 item 5; SURVEY.md section 5.8)."""
+    import hashlib
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from sezkp_tpu.commit.merkle import commit_blocks
+    from sezkp_tpu.core.io import write_block_summaries_auto
+    from sezkp_tpu.stark.v1.proof import encode_proof
+    from sezkp_tpu.stark.v1.prover import prove_v1
+    from sezkp_tpu.trace.generator import generate_trace
+    from sezkp_tpu.trace.partition import partition_trace
+
+    blocks = partition_trace(generate_trace(1024, 2), 64)
+    blocks_path = str(tmp_path / "blocks.cbor")
+    write_block_summaries_auto(blocks_path, blocks)
+
+    # sequential ground truth
+    seq_root = commit_blocks(blocks).root
+    seq_digest = hashlib.sha256(
+        encode_proof(prove_v1(blocks, seq_root))
+    ).hexdigest()
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env.update(
+            SEZKP_COORDINATOR=f"localhost:{port}",
+            SEZKP_NUM_PROCESSES=str(nproc),
+            SEZKP_PROCESS_ID=str(pid),
+        )
+        out = str(tmp_path / f"result_{pid}.json")
+        procs.append(
+            (
+                subprocess.Popen(
+                    [sys.executable, worker, out, blocks_path],
+                    env=env,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                ),
+                out,
+            )
+        )
+
+    results = []
+    for p, out in procs:
+        stdout, _ = p.communicate(timeout=240)
+        assert p.returncode == 0, f"worker failed:\n{stdout.decode()[-2000:]}"
+        with open(out) as f:
+            results.append(json.load(f))
+
+    for i, r in enumerate(results):
+        assert r["process_index"] == i
+        assert r["process_count"] == nproc
+        assert r["global_devices"] == 2 * nproc
+        assert r["local_devices"] == 2
+        assert r["is_coordinator"] == (i == 0)
+        assert r["root"] == seq_root.hex(), "sharded ingest root mismatch"
+        assert r["proof_sha256"] == seq_digest, "proof bytes differ"
+    # shards tile [0, n) contiguously
+    spans = [tuple(r["shard"]) for r in results]
+    assert spans[0][0] == 0 and spans[-1][1] == len(blocks)
+    assert all(spans[i][1] == spans[i + 1][0] for i in range(nproc - 1))
