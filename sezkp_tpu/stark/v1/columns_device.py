@@ -149,7 +149,14 @@ def _jit_columns(n: int, tau: int, nb: int):
 
 
 class DeviceColumns:
-    """Column matrix [C, n] as device-resident u32 limb planes."""
+    """Column matrix [C, n] as device-resident u32 limb planes.
+
+    The planes are derived lazily from the device-resident raw inputs (~38
+    bytes/row vs the planes' 472 bytes/row at tau=8) and can be dropped with
+    :meth:`release_planes` between the composition and the openings phase —
+    at T=2^24 the [59, n] x 2 planes are ~8 GB and cannot coexist with the
+    2^27-point LDE/FRI transients in 16 GB HBM. Re-deriving is one jit
+    replay over the resident raw inputs (no host re-upload)."""
 
     def __init__(self, blocks: Sequence):
         import jax.numpy as jnp
@@ -158,9 +165,8 @@ class DeviceColumns:
         self.n = h["n"]
         self.tau = h["tau"]
         self.labels = all_labels(self.tau)
-        nb = len(blocks)
-        f = _jit_columns(self.n, self.tau, nb)
-        self.lo, self.hi = f(
+        self._nb = len(blocks)
+        self._args = (
             jnp.asarray(h["input_mv"]),
             jnp.asarray(np.ascontiguousarray(h["tape_mv"].T)),
             jnp.asarray(np.ascontiguousarray(h["wflag"].astype(np.uint8).T)),
@@ -173,6 +179,28 @@ class DeviceColumns:
             jnp.asarray(np.ascontiguousarray((h["in_off"] & 0xFFFFFFFF).astype(np.uint32).T)),
             jnp.asarray(np.ascontiguousarray((h["out_off"] & 0xFFFFFFFF).astype(np.uint32).T)),
         )
+        self._lo = self._hi = None
+        self._materialize()
+
+    def _materialize(self):
+        if self._lo is None:
+            f = _jit_columns(self.n, self.tau, self._nb)
+            self._lo, self._hi = f(*self._args)
+
+    @property
+    def lo(self):
+        self._materialize()
+        return self._lo
+
+    @property
+    def hi(self):
+        self._materialize()
+        return self._hi
+
+    def release_planes(self) -> None:
+        """Drop the derived planes (freed once in-flight consumers finish);
+        the next `.lo`/`.hi` access re-derives them from the raw inputs."""
+        self._lo = self._hi = None
 
     def to_host(self) -> np.ndarray:
         """u64 [C, n] (for parity tests)."""

@@ -182,11 +182,22 @@ def prove_v1(
         # programs over the engine's device mesh (parallel/prove_sharded.py)
         fri_eng = engine.deep_lde_fri(alphas, mask_coeffs, blow_log2, shift, z)
     elif device_pipeline:
+        import os
+
         from ...ops import ntt_pallas
         from .columns_device import compose_device
         from .fri_device import DeviceFri
 
         base_planes = compose_device(dc, alphas, mask_coeffs)
+        # At T >= ~2^22 the [C, n] column planes (~8 GB at 2^24, tau=8)
+        # cannot stay resident through the LDE/FRI transients; drop them now
+        # and let the openings phase re-derive from the raw device inputs.
+        n_cols = len(engine.labels)
+        plane_bytes = 2 * 4 * n_cols * n
+        if plane_bytes >= int(
+            os.environ.get("SEZKP_RELEASE_PLANES_BYTES", 2 << 30)
+        ):
+            dc.release_planes()
         lde_planes = ntt_pallas.deep_coset_lde_planes(base_planes, blow_log2, shift, z)
         fri_eng = DeviceFri(planes=lde_planes)
     else:
@@ -248,6 +259,14 @@ def prove_v1(
                 input_mv=next(opened),
             )
         )
+
+    if device_pipeline and dc is not None and dc._lo is not None:
+        import os as _os
+
+        if 2 * 4 * len(engine.labels) * n >= int(
+            _os.environ.get("SEZKP_RELEASE_PLANES_BYTES", 2 << 30)
+        ):
+            dc.release_planes()  # AIR openings done; free before FRI gathers
 
     # ---- FRI queries ----
     fri_rows = params.derive_queries(tr, lde_n, params.NUM_QUERIES)

@@ -255,3 +255,31 @@ def test_device_pipeline_proof_bytes_match_host(monkeypatch):
 
     assert encode_proof(dev_proof) == encode_proof(host_proof)
     verify_v1(dev_proof, blocks)
+
+
+@pytest.mark.slow
+def test_device_pipeline_chunked_fri_proof_bytes_match_host(monkeypatch):
+    """Same as above but with the chunked ("big") FRI tree mode forced via
+    SEZKP_FRI_CHUNKED_MIN_LOG2 — the T>=2^24 memory schedule (tops-only
+    trees + in-chunk path recompute) must produce byte-identical proofs."""
+    from sezkp_tpu.stark.v1 import fri_device as FD
+    from sezkp_tpu.stark.v1 import merkle as M
+    from sezkp_tpu.stark.v1 import openings as O
+    from sezkp_tpu.stark.v1 import prover as P
+    from sezkp_tpu.stark.v1.proof import encode_proof
+    from sezkp_tpu.stark.v1.verify import verify_v1
+
+    blocks = demo_blocks(n_blocks=4, t=1024, tau=2)  # n = 2^12, LDE 2^15
+    host_proof = P.prove_v1(blocks, MANIFEST)
+
+    monkeypatch.setattr(P, "_use_device_cols", lambda n: True)
+    monkeypatch.setattr(P, "_use_device_fri", lambda n: True)
+    monkeypatch.setattr(M, "_device_ready", lambda n: True)
+    monkeypatch.setattr(O, "_device_ready", lambda n: True, raising=False)
+    monkeypatch.setenv("SEZKP_FRI_CHUNKED_MIN_LOG2", "14")
+    # exercise the scan-segmented hashing too (segments of 2^13 over 2^15)
+    monkeypatch.setattr(FD, "SEG_LOG2", 13)
+    big_proof = P.prove_v1(blocks, MANIFEST)
+
+    assert encode_proof(big_proof) == encode_proof(host_proof)
+    verify_v1(big_proof, blocks)
