@@ -749,3 +749,75 @@ def chunk_paths_from_planes(
         return paths8, roots8, vlo_np[:k], vhi_np[:k]
 
     return out, finish
+
+
+@lru_cache(maxsize=8)
+def _jit_chunk_paths_from_ranges(plen: int, chunk_log2: int, bucket: int):
+    """Like _jit_chunk_paths_from_planes but sourcing each request's chunk
+    values from pre-derived [S, C, chunk] range planes (derive_ranges) —
+    no resident [C, n] planes needed."""
+
+    def f(rlo, rhi, sel_s, sel_col, idx, prefs):
+        slo = rlo[sel_s, sel_col]  # [K, chunk]
+        shi = rhi[sel_s, sel_col]
+        cur = jax.vmap(lambda l, h, p: hash_leaves_u64_words(l, h, p, plen))(
+            slo, shi, prefs
+        )
+        vlo = jnp.take_along_axis(slo, idx[:, None].astype(jnp.int32), axis=1)[:, 0]
+        vhi = jnp.take_along_axis(shi, idx[:, None].astype(jnp.int32), axis=1)[:, 0]
+        cur_idx = idx
+        paths = []
+        m = 1 << chunk_log2
+        while m > 1:
+            sib = (cur_idx ^ 1).astype(jnp.int32)
+            paths.append(
+                jnp.take_along_axis(cur, sib[:, None, None], axis=1)[:, 0, :]
+            )
+            cur = jax.vmap(parent_level)(cur)
+            cur_idx = cur_idx >> 1
+            m >>= 1
+        return jnp.stack(paths, axis=1), cur[:, 0, :], vlo, vhi
+
+    return jax.jit(f)
+
+
+def chunk_paths_from_ranges(
+    rlo, rhi, sel_s, col_indices, idx_in_chunk, prefixes, chunk_log2: int
+):
+    """Openings from derive_ranges output: `rlo`/`rhi` are [S, C, chunk]
+    planes; request i reads chunk (sel_s[i], col_indices[i]). Same return
+    contract as chunk_paths_from_planes."""
+    k = len(sel_s)
+    bucket = max(8, 1 << (k - 1).bit_length()) if k else 8
+    plens = {len(p) for p in prefixes}
+    assert len(plens) == 1
+    plen = plens.pop()
+    sels = np.zeros(bucket, dtype=np.int32)
+    sels[:k] = np.asarray(sel_s, dtype=np.int32)
+    cols = np.zeros(bucket, dtype=np.int32)
+    cols[:k] = np.asarray(col_indices, dtype=np.int32)
+    idxs = np.zeros(bucket, dtype=np.uint32)
+    idxs[:k] = np.asarray(idx_in_chunk, dtype=np.uint32)
+    prefs = np.zeros((bucket, 16), dtype=np.uint32)
+    prefs[:k] = np.stack([_prefix_words(p) for p in prefixes])
+    prefs[k:] = prefs[:1] if k else 0
+    out = _jit_chunk_paths_from_ranges(plen, chunk_log2, bucket)(
+        rlo, rhi, jnp.asarray(sels), jnp.asarray(cols),
+        jnp.asarray(idxs), jnp.asarray(prefs),
+    )
+
+    def finish(paths_np, roots_np, vlo_np, vhi_np):
+        d = paths_np.shape[1]
+        paths8 = (
+            np.ascontiguousarray(paths_np, dtype="<u4")
+            .view(np.uint8)
+            .reshape(bucket, d, 32)[:k]
+        )
+        roots8 = (
+            np.ascontiguousarray(roots_np, dtype="<u4")
+            .view(np.uint8)
+            .reshape(bucket, 32)[:k]
+        )
+        return paths8, roots8, vlo_np[:k], vhi_np[:k]
+
+    return out, finish

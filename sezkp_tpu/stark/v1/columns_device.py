@@ -66,6 +66,27 @@ def _host_inputs(blocks) -> dict:
     )
 
 
+_P_HI = np.uint32(0xFFFFFFFF)
+
+
+def _from_i64_small(x32_signed):
+    """int32 values in (-2^31, 2^31) -> field (rem_euclid semantics).
+
+    Negative x maps to p - |x| with p = (lo=1, hi=0xFFFFFFFF):
+    lo = 1 - |x| (wrapping), hi = 0xFFFFFFFF - borrow."""
+    import jax.numpy as jnp
+
+    x = x32_signed
+    neg = x < 0
+    mag = jnp.where(neg, -x, x).astype(jnp.uint32)
+    lo_neg = np.uint32(1) - mag  # wraps when mag > 1
+    hi_neg = jnp.where(mag > 1, _P_HI - 1, _P_HI)
+    return (
+        jnp.where(neg, lo_neg, mag),
+        jnp.where(neg, hi_neg, np.uint32(0)),
+    )
+
+
 @lru_cache(maxsize=8)
 def _jit_columns(n: int, tau: int, nb: int):
     import jax
@@ -73,22 +94,7 @@ def _jit_columns(n: int, tau: int, nb: int):
 
     from ...ops import goldilocks_jax as FJ
 
-    P_HI = np.uint32(0xFFFFFFFF)
-
-    def from_i64_small(x32_signed):
-        """int32 values in (-2^31, 2^31) -> field (rem_euclid semantics).
-
-        Negative x maps to p - |x| with p = (lo=1, hi=0xFFFFFFFF):
-        lo = 1 - |x| (wrapping), hi = 0xFFFFFFFF - borrow."""
-        x = x32_signed
-        neg = x < 0
-        mag = jnp.where(neg, -x, x).astype(jnp.uint32)
-        lo_neg = np.uint32(1) - mag  # wraps when mag > 1
-        hi_neg = jnp.where(mag > 1, P_HI - 1, P_HI)
-        return (
-            jnp.where(neg, lo_neg, mag),
-            jnp.where(neg, hi_neg, np.uint32(0)),
-        )
+    from_i64_small = _from_i64_small
 
     def f(input_mv, tape_mv, wflag, wsym, block_of, block_start, is_first, is_last,
           win_len, in_off, out_off):
@@ -148,6 +154,72 @@ def _jit_columns(n: int, tau: int, nb: int):
     return jax.jit(f)
 
 
+# Granularity of the precomputed cumsum carries: derive_ranges() starts must
+# be multiples of this (== params.COL_CHUNK_LOG2, the opening chunk size).
+CARRY_GRAN_LOG2 = 10
+
+
+@lru_cache(maxsize=8)
+def _jit_derive_ranges(L: int, tau: int, nb: int, n_ranges: int):
+    """[S] range starts -> [S, C, L] column limb planes, derived directly
+    from the resident raw inputs + precomputed per-block/per-chunk cumsum
+    anchors. Bit-identical to slices of the full _jit_columns planes
+    (cross-tested) — this is what lets the openings phase avoid
+    rematerializing the ~8 GB planes at T >= 2^24."""
+    import jax
+    import jax.numpy as jnp
+
+    from_i64_small = _from_i64_small
+
+    def f(starts, input_mv, tape_mv, wflag, wsym, block_of, is_first, is_last,
+          win_len, in_off, out_off, anchor, carry):
+        # starts i32 [S] (multiples of 2^CARRY_GRAN_LOG2); anchor i32
+        # [tau, nb] = global csum at each block start (exclusive); carry i32
+        # [tau, n >> CARRY_GRAN_LOG2] = global csum at each granule start
+        # (exclusive).
+        def one(s):
+            bo = jax.lax.dynamic_slice(block_of, (s,), (L,))
+            imv = jax.lax.dynamic_slice(input_mv, (s,), (L,))
+            isf = jax.lax.dynamic_slice(is_first, (s,), (L,))
+            isl = jax.lax.dynamic_slice(is_last, (s,), (L,))
+            tmv = jax.lax.dynamic_slice(tape_mv, (0, s), (tau, L)).astype(jnp.int32)
+            wfl = jax.lax.dynamic_slice(wflag, (0, s), (tau, L))
+            wsy = jax.lax.dynamic_slice(wsym, (0, s), (tau, L))
+            ci = s >> CARRY_GRAN_LOG2
+            g = jnp.cumsum(tmv, axis=1) + carry[:, ci][:, None]
+
+            cols_lo = []
+            cols_hi = []
+            zero_hi = jnp.zeros(L, jnp.uint32)
+            e = from_i64_small(imv.astype(jnp.int32))
+            cols_lo.append(e[0]); cols_hi.append(e[1])
+            cols_lo.append(isf.astype(jnp.uint32)); cols_hi.append(zero_hi)
+            cols_lo.append(isl.astype(jnp.uint32)); cols_hi.append(zero_hi)
+
+            per_tape = {k: [] for k in
+                        ("mv", "wflag", "wsym", "head", "winlen", "in_off", "out_off")}
+            for r in range(tau):
+                head_rel_r = (
+                    g[r] - anchor[r, bo] + in_off[r, bo].astype(jnp.int32)
+                )
+                per_tape["mv"].append(from_i64_small(tmv[r]))
+                per_tape["wflag"].append((wfl[r].astype(jnp.uint32), zero_hi))
+                per_tape["wsym"].append((wsy[r].astype(jnp.uint32), zero_hi))
+                per_tape["head"].append(from_i64_small(head_rel_r))
+                per_tape["winlen"].append((win_len[r, bo], zero_hi))
+                per_tape["in_off"].append((in_off[r, bo], zero_hi))
+                per_tape["out_off"].append((out_off[r, bo], zero_hi))
+            for name in ("mv", "wflag", "wsym", "head", "winlen", "in_off", "out_off"):
+                for r in range(tau):
+                    cols_lo.append(per_tape[name][r][0])
+                    cols_hi.append(per_tape[name][r][1])
+            return jnp.stack(cols_lo), jnp.stack(cols_hi)
+
+        return jax.vmap(one)(starts)
+
+    return jax.jit(f)
+
+
 class DeviceColumns:
     """Column matrix [C, n] as device-resident u32 limb planes.
 
@@ -179,6 +251,22 @@ class DeviceColumns:
             jnp.asarray(np.ascontiguousarray((h["in_off"] & 0xFFFFFFFF).astype(np.uint32).T)),
             jnp.asarray(np.ascontiguousarray((h["out_off"] & 0xFFFFFFFF).astype(np.uint32).T)),
         )
+        # cumsum anchors for derive_ranges: global tape-mv csum (exclusive)
+        # at each block start and at each 2^CARRY_GRAN_LOG2 granule start
+        csum = np.cumsum(h["tape_mv"].astype(np.int32), axis=0)  # [n, tau]
+        bs = h["block_start"]
+        anchor = np.where(
+            (bs == 0)[None, :], np.int32(0), csum[np.maximum(bs - 1, 0)].T
+        ).astype(np.int32)  # [tau, nb]
+        gran = 1 << CARRY_GRAN_LOG2
+        gs = np.arange(0, self.n, gran, dtype=np.int64)
+        carry = np.where(
+            (gs == 0)[None, :], np.int32(0), csum[np.maximum(gs - 1, 0)].T
+        ).astype(np.int32)  # [tau, n >> gran]
+        del csum
+        self._anchor = jnp.asarray(anchor)
+        self._carry = jnp.asarray(carry)
+
         self._lo = self._hi = None
         self._materialize()
 
@@ -201,6 +289,28 @@ class DeviceColumns:
         """Drop the derived planes (freed once in-flight consumers finish);
         the next `.lo`/`.hi` access re-derives them from the raw inputs."""
         self._lo = self._hi = None
+
+    @property
+    def planes_resident(self) -> bool:
+        return self._lo is not None
+
+    def derive_ranges(self, starts, length: int):
+        """Derive [S, C, length] column limb planes for `starts` (each a
+        multiple of 2^CARRY_GRAN_LOG2) without materializing the full
+        planes. Returns device (lo, hi)."""
+        import jax.numpy as jnp
+
+        starts = np.asarray(starts, dtype=np.int32)
+        assert np.all(starts % (1 << CARRY_GRAN_LOG2) == 0)
+        assert np.all(starts + length <= self.n)
+        (input_mv, tape_mv, wflag, wsym, block_of, _block_start, is_first,
+         is_last, win_len, in_off, out_off) = self._args
+        f = _jit_derive_ranges(length, self.tau, self._nb, len(starts))
+        return f(
+            jnp.asarray(starts), input_mv, tape_mv, wflag, wsym, block_of,
+            is_first, is_last, win_len, in_off, out_off,
+            self._anchor, self._carry,
+        )
 
     def to_host(self) -> np.ndarray:
         """u64 [C, n] (for parity tests)."""
@@ -345,11 +455,68 @@ def _jit_compose(n: int, tau: int, n_masks: int, mask_deg: int):
     return jax.jit(f)
 
 
+@lru_cache(maxsize=8)
+def _jit_compose_scan(n: int, tau: int, n_masks: int, mask_deg: int,
+                      seg_log2: int):
+    """Segment-scanned composition for large n: the monolithic graph's
+    [n]-sized term temporaries OOM alongside the ~8 GB column planes at
+    n = 2^24; scanning 2^seg_log2-row slabs bounds the transient set while
+    producing bit-identical output."""
+    import jax
+    import jax.numpy as jnp
+
+    seg = 1 << seg_log2
+    assert n % seg == 0 and seg >= 2
+    n_seg = n // seg
+    h0 = 3 + 3 * tau  # head rows base in all_labels order
+    m0 = 3  # mv rows base
+
+    def f(lo, hi, a_lo, a_hi, mc_lo, mc_hi, xs_lo, xs_hi):
+        c = lo.shape[0]
+
+        def body(_, i):
+            s = i * seg
+            slo = jax.lax.dynamic_slice(lo, (0, s), (c, seg))
+            shi = jax.lax.dynamic_slice(hi, (0, s), (c, seg))
+            xs_l = jax.lax.dynamic_slice_in_dim(xs_lo, s, seg)
+            xs_h = jax.lax.dynamic_slice_in_dim(xs_hi, s, seg)
+            nstart = (s + seg) % n  # wrap column (row 0) for the last slab
+
+            def next_slab(base):
+                cl = slo[base : base + tau]
+                ch = shi[base : base + tau]
+                nl = jax.lax.dynamic_slice(lo, (base, nstart), (tau, 1))
+                nh = jax.lax.dynamic_slice(hi, (base, nstart), (tau, 1))
+                return (
+                    jnp.concatenate([cl[:, 1:], nl], axis=1),
+                    jnp.concatenate([ch[:, 1:], nh], axis=1),
+                )
+
+            out = compose_rows_core(
+                slo, shi, tau, a_lo, a_hi, mc_lo, mc_hi, xs_l, xs_h,
+                next_slab(h0), next_slab(m0),
+            )
+            return None, out
+
+        _, (olo, ohi) = jax.lax.scan(body, None, jnp.arange(n_seg, dtype=jnp.int32))
+        return olo.reshape(n), ohi.reshape(n)
+
+    return jax.jit(f)
+
+
+# Above this row count the composition runs as a segment scan (the
+# monolithic graph OOMs next to the resident column planes).
+COMPOSE_SCAN_MIN_LOG2 = 23
+COMPOSE_SEG_LOG2 = 19
+
+
 def compose_device(dc: DeviceColumns, alphas: Alphas, mask_coeffs) -> Tuple:
     """Base composition + ZK masks for all rows, on device.
 
     Returns (lo, hi) jnp [n]. Bit-identical to
     air.compose_all_rows + masking.eval_masks_sum_at_points."""
+    import os
+
     import jax.numpy as jnp
 
     a_list = [
@@ -362,7 +529,16 @@ def compose_device(dc: DeviceColumns, alphas: Alphas, mask_coeffs) -> Tuple:
     mc = np.array(mask_coeffs, dtype=np.uint64)
     n_log2 = dc.n.bit_length() - 1
     xs = _w_base_pows_device(n_log2)
-    f = _jit_compose(dc.n, dc.tau, mc.shape[0], mc.shape[1])
+    scan_min = int(
+        os.environ.get("SEZKP_COMPOSE_SCAN_MIN_LOG2", COMPOSE_SCAN_MIN_LOG2)
+    )
+    if n_log2 >= scan_min:
+        f = _jit_compose_scan(
+            dc.n, dc.tau, mc.shape[0], mc.shape[1],
+            min(COMPOSE_SEG_LOG2, n_log2 - 1),
+        )
+    else:
+        f = _jit_compose(dc.n, dc.tau, mc.shape[0], mc.shape[1])
     return f(
         dc.lo,
         dc.hi,

@@ -230,6 +230,16 @@ def test_scan_commit_and_recompute_openings_match_resident(monkeypatch):
         assert g.path_in_chunk == w.path_in_chunk
         assert g.path_to_chunk == w.path_to_chunk
 
+    # released planes -> derive_ranges path (the T>=2^24 opening schedule)
+    dc.release_planes()
+    got2 = eng.open_batch(reqs)
+    assert not dc.planes_resident  # ranges path must not rematerialize
+    for g, w in zip(got2, want):
+        assert g.value_le == w.value_le
+        assert g.chunk_root == w.chunk_root
+        assert g.path_in_chunk == w.path_in_chunk
+        assert g.path_to_chunk == w.path_to_chunk
+
 
 @pytest.mark.slow
 def test_device_pipeline_proof_bytes_match_host(monkeypatch):
@@ -255,6 +265,37 @@ def test_device_pipeline_proof_bytes_match_host(monkeypatch):
 
     assert encode_proof(dev_proof) == encode_proof(host_proof)
     verify_v1(dev_proof, blocks)
+
+
+def test_compose_scan_matches_monolithic(monkeypatch):
+    """The segment-scanned composition (large-n memory schedule) must be
+    bit-identical to the monolithic device graph and the host oracle."""
+    import numpy as np
+
+    from sezkp_tpu.ops import goldilocks_jax as FJ
+    from sezkp_tpu.stark.v1.columns import TraceColumns
+    from sezkp_tpu.stark.v1.columns_device import DeviceColumns, compose_device
+    from sezkp_tpu.stark.v1.masking import eval_masks_sum_at_points
+    from sezkp_tpu.ops import goldilocks as G
+    from sezkp_tpu.ops import ntt as ntt_host
+
+    blocks = demo_blocks(n_blocks=8, t=128, tau=2)  # n = 2^10
+    tc = TraceColumns.build(blocks)
+    alphas = Alphas.from_list(list(range(3, 11)))
+    mask_coeffs = [[5, 11, 17, 23]]
+
+    comp = compose_all_rows(tc, alphas)
+    w = ntt_host.powers(G.primitive_root_2exp(10), 1 << 10)
+    want = G.add(comp, eval_masks_sum_at_points(mask_coeffs, w))
+
+    dc = DeviceColumns(blocks)
+    monkeypatch.setenv("SEZKP_COMPOSE_SCAN_MIN_LOG2", "10")
+    got_scan = FJ.unpack(tuple(np.asarray(x) for x in compose_device(dc, alphas, mask_coeffs)))
+    monkeypatch.setenv("SEZKP_COMPOSE_SCAN_MIN_LOG2", "30")
+    got_mono = FJ.unpack(tuple(np.asarray(x) for x in compose_device(dc, alphas, mask_coeffs)))
+
+    assert np.array_equal(got_scan, want)
+    assert np.array_equal(got_mono, want)
 
 
 @pytest.mark.slow
