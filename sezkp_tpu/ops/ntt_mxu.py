@@ -9,28 +9,37 @@ integers via a signed base-256 digit decomposition and int8 matmuls with
 i32 accumulation, then reduced mod p once per output element in VMEM.
 
 Digit scheme (all bounds static):
-  * operands are written as sum_k d_k 256^k with NDIG = 9 *balanced* digits
-    d_k in [-128, 127] (top digit in {0, 1}) — exactly representable in
-    int8, one fewer digit than an unsigned 7-bit split, so 81 instead of
-    100 digit-pair matmuls per phase;
+  * every operand v (canonical, < p) is replaced by the *signed
+    representative* r = v - p when v > MAX_BAL, giving r in
+    [MIN_BAL, MAX_BAL] with MAX_BAL = 127*(2^64-1)/255 and
+    MIN_BAL = -128*(2^64-1)/255 (worst case r = MAX_BAL + 1 - p =
+    -9259542118978846849 > MIN_BAL = -9259542123273814144, margin ~2^32);
+    the matmul computes W @ X exactly over Z in any mod-p representatives
+    because the result is reduced mod p once at the end;
+  * r is written as sum_k d_k 256^k with NDIG = 8 *balanced* digits
+    d_k in [-128, 127] — exactly representable in int8, so 64 digit-pair
+    matmuls per phase (vs 81 for the 9-digit split of unreduced values,
+    vs 100 for an unsigned 7-bit split);
   * a digit-pair product plane accumulates m terms of |.| <= 128^2, so a
     plane element is |.| <= m * 16384 (exact in i32 for m <= 2^17);
-  * a recombination diagonal sums <= 9 planes: |s_d| <= 9 * m * 16384
-    (< 2^28 for m <= 2^10, the largest factor _factor_logs emits);
+  * a recombination diagonal sums <= 8 planes: |s_d| <= 8 * m * 16384
+    (<= 2^27 for m <= 2^10, the largest factor _factor_logs emits);
   * diagonals are made non-negative by adding OFF = 2^28 (u_d = s_d + OFF
-    < 2^29), recombined as  sum_d u_d * 2^(8d)  (< 2^158) into five u32
-    limbs with carry chains, folded mod p with the Goldilocks identities
-    2^64 = 2^32 - 1, 2^96 = -1, 2^128 = -2^32, 2^160 = -(2^32-1), and the
-    constant OFF * sum_d 2^(8d) mod p is subtracted once at the end.
+    < 2^29), recombined as  sum_d u_d * 2^(8d)  (d <= 14, total < 2^146)
+    into five u32 limbs with carry chains, folded mod p with the
+    Goldilocks identities 2^64 = 2^32 - 1, 2^96 = -1, 2^128 = -2^32, and
+    the constant OFF * sum_d 2^(8d) mod p is subtracted once at the end.
 
 The DFT-as-matmul formulation also removes the bit-reverse permutations and
 per-stage twiddle tables. For three-phase sizes the middle phase runs as a
 *batched* per-k1 matmul over the natural [m1, m2, m3] layout, so no
 inter-phase HBM transposes are needed: phase A contracts axis 0, phase B
-contracts axis 1 (grid over k1), phase C contracts axis 2 on the contiguous
-[(k1,k2), b3] view; only the final order-restoring transpose remains
-(reference transform semantics: crates/sezkp-ffts/src/ntt.rs:79-177; this
-kernel is bit-identical to ops/ntt.forward_ntt / inverse_ntt).
+contracts axis 1 (grid over k1), phase C contracts axis 2 — gridded over
+the *middle* axis with each output block transposed in VMEM and written to
+its natural-order position, so the order-restoring permutation costs no
+separate HBM pass (reference transform semantics:
+crates/sezkp-ffts/src/ntt.rs:79-177; this kernel is bit-identical to
+ops/ntt.forward_ntt / inverse_ntt).
 
 Sizes: n = m1 * m2 (two phases) or m1 * m2 * m3 (three phases), every factor
 <= 2^10 so each W digit table ([9*m, m] int8) stays VMEM-resident. For
@@ -53,10 +62,13 @@ from . import goldilocks_jax as FJ
 from . import ntt as ntt_host
 from . import ntt_pallas
 
-NDIG = 9  # balanced base-256 digits per u64
+NDIG = 8  # balanced base-256 digits per signed representative
 DIAGS = 2 * NDIG - 1
 MIN_LOG2 = 14  # below this, delegate to ntt_pallas
-OFF = 1 << 28  # diagonal offset: |s_d| <= 9 * 2^10 * 128^2 < 2^28
+OFF = 1 << 28  # diagonal offset: |s_d| <= 8 * 2^10 * 128^2 <= 2^27
+# signed-representative threshold: values v > MAX_BAL are replaced by v - p
+MAX_BAL = 127 * ((1 << 64) - 1) // 255  # 0x7F7F7F7F7F7F7F7F
+_MB32 = np.uint32(0x7F7F7F7F)
 
 # correction constant: OFF * sum_{d} 2^(8d) mod p, subtracted after recombine
 _CORR = (OFF * sum(1 << (8 * d) for d in range(DIAGS))) % int(G.P)
@@ -84,22 +96,39 @@ def _factor_logs(n_log2: int) -> list[int]:
 
 
 def _balanced_digits_host(W: np.ndarray) -> list[np.ndarray]:
-    """u64 array -> 9 int8 planes: W = sum_k d_k 256^k, d_k in [-128, 127]."""
-    t = W.copy()
+    """Canonical u64 array (< p) -> 8 int8 planes of the signed
+    representative: r = W - p if W > MAX_BAL else W; r = sum_k d_k 256^k
+    with d_k in [-128, 127] (uniqueness of the balanced rep makes the
+    greedy byte+carry algorithm on the two's-complement bytes exact; the
+    final carry-out encodes the sign wrap and is dropped)."""
+    with np.errstate(over="ignore"):
+        t = np.where(W > np.uint64(MAX_BAL), W - np.uint64(G.P), W)
+    r_signed = t.astype(np.uint64).view(np.int64).copy()
     digs = []
     for _ in range(8):
         b = (t & np.uint64(255)).astype(np.int64)
         ge = b >= 128
         digs.append(np.where(ge, b - 256, b).astype(np.int8))
         t = (t >> np.uint64(8)) + ge.astype(np.uint64)
-    assert int(t.max()) <= 1
-    digs.append(t.astype(np.int8))
+    # exactness check: sum_k d_k 256^k == signed representative
+    acc = np.zeros_like(r_signed)
+    for k in range(7, -1, -1):
+        acc = acc * 256 + digs[k].astype(np.int64)
+    assert np.array_equal(acc, r_signed), "balanced digitization not exact"
     return digs
 
 
 def _digits(lo, hi):
-    """In-kernel balanced base-256 digits of the u64 planes (lo, hi):
-    9 int8 planes, d_k in [-128, 127], top in {0, 1}."""
+    """In-kernel balanced base-256 digits of the signed representative of
+    the canonical u64 planes (lo, hi): 8 int8 planes, d_k in [-128, 127].
+    The final carry-out of the byte chain encodes the two's-complement
+    sign wrap and is dropped (see _balanced_digits_host)."""
+    big = (hi > _MB32) | ((hi == _MB32) & (lo > _MB32))
+    slo = lo - FJ.P_LO
+    borrow = (lo < FJ.P_LO).astype(jnp.uint32)
+    shi = hi - FJ.P_HI - borrow
+    lo = jnp.where(big, slo, lo)
+    hi = jnp.where(big, shi, hi)
     bs = [((lo >> (8 * k)) & jnp.uint32(255)).astype(jnp.int32) for k in range(4)]
     bs += [((hi >> (8 * k)) & jnp.uint32(255)).astype(jnp.int32) for k in range(4)]
     digs = []
@@ -109,7 +138,6 @@ def _digits(lo, hi):
         ge = (t >= 128).astype(jnp.int32)
         digs.append((t - (ge << 8)).astype(jnp.int8))
         c = ge
-    digs.append(c.astype(jnp.int8))
     return digs
 
 
@@ -120,7 +148,7 @@ def _acc_add64(acc, x):
 
 
 def _recombine(diags):
-    """[s_0..s_16] i32 diagonal sums (|s_d| < OFF) -> canonical (lo, hi) of
+    """[s_0..s_14] i32 diagonal sums (|s_d| < OFF) -> canonical (lo, hi) of
     sum_d s_d * 2^(8d) mod p."""
     u = [(s + jnp.int32(OFF)).astype(jnp.uint32) for s in diags]  # < 2^29
     shape = u[0].shape
@@ -131,24 +159,21 @@ def _recombine(diags):
         acc[q] = _acc_add64(acc[q], (s << sh) if sh else s)
         if sh:
             acc[q + 1] = _acc_add64(acc[q + 1], s >> (32 - sh))
-    # carry-normalize into u32 limbs v0..v5 (v = sum_q v_q 2^(32 q))
+    # carry-normalize into u32 limbs v0..v4 (total < 15 * 2^29 * 2^112
+    # < 2^146, so the carry out of v4 is statically zero)
     v = []
     carry = z
     for q in range(5):
         lo, c = FJ._addc(acc[q][0], carry)
         v.append(lo)
         carry = acc[q][1] + c  # acc hi <= 4*2^21 + spill, no overflow
-    v.append(carry)
-    # fold mod p: 2^64=EPS, 2^96=-1, 2^128=-2^32, 2^160=-EPS (EPS=2^32-1)
+    # fold mod p: 2^64=EPS, 2^96=-1, 2^128=-2^32 (EPS=2^32-1)
     nz2 = (v[2] != 0).astype(jnp.uint32)
-    nz5 = (v[5] != 0).astype(jnp.uint32)
     a = FJ._cond_sub_p(v[0], v[1])
     b = FJ._cond_sub_p(z - v[2], v[2] - nz2)  # v2 * EPS
     c_ = FJ._cond_sub_p(v[3], v[4])
-    d_ = FJ._cond_sub_p(z - v[5], v[5] - nz5)  # v5 * EPS
     r = FJ.add(a, b)
     r = FJ.sub(r, c_)
-    r = FJ.sub(r, d_)
     corr = (jnp.full(shape, _CORR_LO, jnp.uint32), jnp.full(shape, _CORR_HI, jnp.uint32))
     return FJ.sub(r, corr)
 
@@ -223,31 +248,34 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _dot_digits(x, w, m: int, span: int, axis: int):
-    """All 81 digit-pair products of the stacked digit matmuls, summed into
-    17 diagonal planes (i32).
+def _dot_digits(digs, w, m: int, axis: int):
+    """All 64 digit-pair products, summed into 15 diagonal planes (i32).
 
-    axis=0: x is [m, NDIG*span] (digits along columns), products W_j @ x.
-    axis=1: x is [NDIG*span, m] (digits along rows),     products x @ W_j."""
+    digs is the list of NDIG int8 digit planes (same shape as the value
+    block) — kept separate rather than concatenated: lane-axis int8
+    concatenation + i32 output slicing costs more VPU/relayout time than
+    the matmuls themselves (measured 1.9 ms vs 1.5 ms of MXU per phase at
+    2^24 on v5e). The j-outer loop keeps each weight slice resident across
+    its NDIG products.
+
+    mode "w_x":  planes [m, span], products W_j @ x_i        -> [m, span]
+    mode "x_w":  planes [span, m], products x_i @ W_j        -> [span, m]
+    mode "xT_w": planes [m, span], products x_i^T @ W_j      -> [span, m]"""
+    dims = {
+        "w_x": (((1,), (0,)), ((), ())),
+        "x_w": (((1,), (0,)), ((), ())),
+        "xT_w": (((0,), (0,)), ((), ())),
+    }[axis]
     diags = [None] * DIAGS
     for j in range(NDIG):
         wj = w[j * m : (j + 1) * m, :]
-        if axis == 0:
+        for i, xi in enumerate(digs):
+            lhs, rhs = (wj, xi) if axis == "w_x" else (xi, wj)
             p = jax.lax.dot_general(
-                wj, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-            )
-        else:
-            p = jax.lax.dot_general(
-                x, wj, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-            )
-        for i in range(NDIG):
-            blk = (
-                p[:, i * span : (i + 1) * span]
-                if axis == 0
-                else p[i * span : (i + 1) * span, :]
+                lhs, rhs, dims, preferred_element_type=jnp.int32
             )
             d = i + j
-            diags[d] = blk if diags[d] is None else diags[d] + blk
+            diags[d] = p if diags[d] is None else diags[d] + p
     return diags
 
 
@@ -264,8 +292,7 @@ def _dft_kernel(m_log2: int, tile: int, axis: int, twiddle: bool):
         else:
             olo_ref, ohi_ref = rest
         digs = _digits(alo_ref[:, :], ahi_ref[:, :])
-        x = jnp.concatenate(digs, axis=1 - axis)
-        diags = _dot_digits(x, w_ref[:, :], m, tile, axis)
+        diags = _dot_digits(digs, w_ref[:, :], m, "w_x" if axis == 0 else "x_w")
         lo, hi = _recombine(diags)
         if twiddle:
             lo, hi = FJ.mul((lo, hi), (tlo_ref[:, :], thi_ref[:, :]))
@@ -375,32 +402,8 @@ def _batched_kernel(mc_log2: int, cols: int, twiddle: bool, mode: str, pre: bool
                 (a_lo, a_hi), (talo_ref[0, :, :], tahi_ref[0, :, :])
             )
         digs = _digits(a_lo, a_hi)
-        w = w_ref[:, :]
-        span = cols
-        if mode == "wx":
-            x = jnp.concatenate(digs, axis=1)  # [mc, NDIG*cols]
-            dims, ops, axis = (((1,), (0,)), ((), ())), "w_first", 0
-        elif mode == "xw_t":
-            x = jnp.concatenate(digs, axis=1)  # [mc, NDIG*cols]
-            dims, ops, axis = (((0,), (0,)), ((), ())), "x_first", 1
-        else:  # xw_last
-            x = jnp.concatenate(digs, axis=0)  # [NDIG*rows, mc]
-            dims, ops, axis = (((1,), (0,)), ((), ())), "x_first", 1
-        diags = [None] * DIAGS
-        for j in range(NDIG):
-            wj = w[j * mc : (j + 1) * mc, :]
-            lhs, rhs = (wj, x) if ops == "w_first" else (x, wj)
-            p = jax.lax.dot_general(
-                lhs, rhs, dims, preferred_element_type=jnp.int32
-            )
-            for i in range(NDIG):
-                blk = (
-                    p[:, i * span : (i + 1) * span]
-                    if axis == 0
-                    else p[i * span : (i + 1) * span, :]
-                )
-                d = i + j
-                diags[d] = blk if diags[d] is None else diags[d] + blk
+        dotmode = {"wx": "w_x", "xw_t": "xT_w", "xw_last": "x_w"}[mode]
+        diags = _dot_digits(digs, w_ref[:, :], mc, dotmode)
         lo, hi = _recombine(diags)
         if twiddle:
             lo, hi = FJ.mul((lo, hi), (tlo_ref[:, :], thi_ref[:, :]))
@@ -464,6 +467,65 @@ def _batched_call(
     return apply
 
 
+def _last_call_t(m2: int, mc_log2: int, cols: int, w, bk2: int = 8):
+    """Final DFT phase with a fused natural-order write.
+
+    Input (2-D view) [cols, m2*mc] = X[k1, (k2, b3)], gridded over groups
+    of bk2 middle indices k2; each k2 slice contracts the last axis
+    (X @ W, digits stacked along sublanes) and its [mc, cols] VMEM
+    transpose lands in the output [mc, m2*cols] = Y[k3, (k2, k1)] — whose
+    flat order is exactly the natural y[k1 + m1*k2 + m1*m2*k3], so the
+    order-restoring permutation costs no separate HBM pass. Both block
+    shapes slice the lane axis at multiples of mc/cols >= 128 (Mosaic's
+    lane-tile requirement)."""
+    mc = 1 << mc_log2
+    interp = _interpret()
+    bk2 = min(bk2, m2)
+    grid = m2 // bk2
+
+    def kernel(alo_ref, ahi_ref, w_ref, olo_ref, ohi_ref):
+        w = w_ref[:, :]
+        parts = []
+        for j2 in range(bk2):
+            a_lo = alo_ref[:, j2 * mc : (j2 + 1) * mc]
+            a_hi = ahi_ref[:, j2 * mc : (j2 + 1) * mc]
+            digs = _digits(a_lo, a_hi)
+            diags = _dot_digits(digs, w, mc, "x_w")
+            lo, hi = _recombine(diags)
+            if cols >= 128:
+                # lane-aligned per-slice writes
+                olo_ref[:, j2 * cols : (j2 + 1) * cols] = lo.T
+                ohi_ref[:, j2 * cols : (j2 + 1) * cols] = hi.T
+            else:
+                # cols < 128: sub-lane-tile stores mis-lower on v5e; buffer
+                # the slices and store the concatenated full block once
+                parts.append((lo.T, hi.T))
+        if parts:
+            olo_ref[:, :] = jnp.concatenate([p[0] for p in parts], axis=1)
+            ohi_ref[:, :] = jnp.concatenate([p[1] for p in parts], axis=1)
+
+    in_spec = pl.BlockSpec((cols, bk2 * mc), lambda i: (0, i))
+    out_spec = pl.BlockSpec((mc, bk2 * cols), lambda i: (0, i))
+    w_spec = pl.BlockSpec(tuple(w.shape), lambda i: (0, 0))
+    f = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[in_spec, in_spec, w_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((mc, m2 * cols), jnp.uint32),
+            jax.ShapeDtypeStruct((mc, m2 * cols), jnp.uint32),
+        ],
+        interpret=interp,
+        compiler_params=None if interp else _params,
+    )
+
+    def apply(lo, hi):
+        return f(lo.reshape(cols, m2 * mc), hi.reshape(cols, m2 * mc), w)
+
+    return apply
+
+
 @lru_cache(maxsize=16)
 def _build(n_log2: int, inverse: bool):
     logs = _factor_logs(n_log2)
@@ -502,15 +564,27 @@ def _build(n_log2: int, inverse: bool):
         phase_b = _batched_call(
             m1, l2, m3, w2, _t_mid(l2, l3, inverse, False), mode="wx", pre=ta
         )
-        # [k1, k2, b3] -> [k1, k2, k3] (contract last axis, X @ W)
-        phase_c = _batched_call(m1, l3, m2, w3, mode="xw_last")
-    else:
-        # small-m3 pair: transposed contractions (sublane-only slicing)
-        # [k1, a2, b3] -> [k1, b3, k2] -> [k1, k2, k3] (transposition cancels)
-        phase_b = _batched_call(
-            m1, l2, m3, w2, _t_mid(l2, l3, inverse, True), mode="xw_t", pre=ta
-        )
-        phase_c = _batched_call(m1, l3, m2, w3, mode="xw_t")
+        # [k1, k2, b3] -> [k3, k2, k1] (contract last axis, X @ W, output
+        # blocks transposed in VMEM to natural order — no HBM transpose)
+        phase_c = _last_call_t(m2, l3, m1, w3)
+
+        def f(lo_flat, hi_flat):
+            lo = lo_flat.reshape(m1, m2 * m3)
+            hi = hi_flat.reshape(m1, m2 * m3)
+            lo, hi = phase_a(lo, hi)
+            lo, hi = phase_b(lo.reshape(m1, m2, m3), hi.reshape(m1, m2, m3))
+            lo, hi = phase_c(lo, hi)
+            # output [m3, m2, m1] = Y[k3, k2, k1]; flat IS natural order
+            return lo.reshape(n), hi.reshape(n)
+
+        return jax.jit(f)
+
+    # small-m3 pair: transposed contractions (sublane-only slicing)
+    # [k1, a2, b3] -> [k1, b3, k2] -> [k1, k2, k3] (transposition cancels)
+    phase_b = _batched_call(
+        m1, l2, m3, w2, _t_mid(l2, l3, inverse, True), mode="xw_t", pre=ta
+    )
+    phase_c = _batched_call(m1, l3, m2, w3, mode="xw_t")
 
     def f(lo_flat, hi_flat):
         lo = lo_flat.reshape(m1, m2 * m3)

@@ -55,7 +55,10 @@ def test_recombine_edge_values():
     x = np.full(1, int(G.P) - 1, dtype=np.uint64)
     dig = [int(d[0]) for d in M._balanced_digits_host(x)]
     assert len(dig) == M.NDIG
-    assert sum(d * (256**k) for k, d in enumerate(dig)) == int(x[0])
+    # signed representative: digits rebuild x - p = -1 (congruent mod p)
+    assert sum(d * (256**k) for k, d in enumerate(dig)) % int(G.P) == int(
+        x[0]
+    ) % int(G.P)
     diags = []
     for d in range(M.DIAGS):
         s = sum(
@@ -79,5 +82,45 @@ def test_balanced_digits_host_roundtrip():
     )
     digs = M._balanced_digits_host(vals)
     acc = sum(d.astype(object) * (256**k) for k, d in enumerate(digs))
-    assert all(int(a) == int(v) for a, v in zip(acc, vals))
+    assert all(int(a) % int(G.P) == int(v) % int(G.P) for a, v in zip(acc, vals))
     assert all(-128 <= int(d.min()) and int(d.max()) <= 127 for d in digs)
+    assert len(digs) == M.NDIG == 8
+
+
+def test_kernel_digits_match_host():
+    """In-kernel signed-representative digitization == host oracle on
+    random values plus the MAX_BAL / p boundary neighbourhood."""
+    import jax.numpy as jnp
+
+    from sezkp_tpu.ops import goldilocks_jax as FJ
+
+    rng = np.random.default_rng(11)
+    edge = np.array(
+        [0, 1, M.MAX_BAL - 1, M.MAX_BAL, M.MAX_BAL + 1, M.MAX_BAL + 2,
+         int(G.P) - 2, int(G.P) - 1],
+        dtype=np.uint64,
+    )
+    vals = np.concatenate(
+        [rng.integers(0, int(G.P), 120, dtype=np.uint64), edge]
+    )
+    lo, hi = FJ.pack(vals)
+    got = M._digits(lo, hi)
+    want = M._balanced_digits_host(vals)
+    for g, w in zip(got, want):
+        assert np.array_equal(np.asarray(g), w)
+
+
+def test_mxu_transposed_write_path(monkeypatch):
+    """The m3 >= 128 path (batched wx + _last_call_t fused natural-order
+    write) is bit-equal to the host oracle. Production sizes only select
+    it at n >= 2^20; force the factorization [4, 7, 7] at 2^18 so the CPU
+    (interpret-mode) suite covers the same kernels."""
+    monkeypatch.setattr(M, "_factor_logs", lambda k: [4, 7, 7])
+    M._build.cache_clear()
+    try:
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, int(G.P), 1 << 18, dtype=np.uint64)
+        assert np.array_equal(M.forward_ntt_u64(a), N.forward_ntt(a))
+        assert np.array_equal(M.inverse_ntt_u64(a), N.inverse_ntt(a))
+    finally:
+        M._build.cache_clear()
