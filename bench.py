@@ -86,10 +86,20 @@ def _bench_ntt():
             (NDIG * NDIG) * 2 * (1 << m_log2) for m_log2 in _factor_logs(K)
         )
         sol_pts_per_sec = V5E_INT8_TOPS / ops_per_point
+        # serial-execution bound: Mosaic kernels run VPU + MXU work in one
+        # instruction stream (measured additive; ROOFLINE.md) — per phase
+        # ~2.0 ms of vector work (digits + recombination + twiddles) adds
+        # to the MXU time at 2^24-scale sizes.
+        phases = len(_factor_logs(K))
+        mxu_s = ops_per_point * (1 << K) / V5E_INT8_TOPS
+        serial_s = mxu_s + phases * 2.0e-3 * (1 << K) / (1 << 24)
+        serial_sol = (1 << K) / serial_s
         roofline = {
             "ops_per_point": ops_per_point,
             "mxu_sol_pts_per_sec": round(sol_pts_per_sec),
             "fraction_of_mxu_roofline": round(pts_per_sec / sol_pts_per_sec, 3),
+            "serial_vpu_mxu_sol_pts_per_sec": round(serial_sol),
+            "fraction_of_serial_roofline": round(pts_per_sec / serial_sol, 3),
         }
     return pts_per_sec, roofline
 
