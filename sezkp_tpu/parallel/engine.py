@@ -49,13 +49,15 @@ def _sharded_group_commit(mesh: Mesh, plen: int, chunk_log2: int):
         return cv
 
     def local(lo, hi, prefs):
-        return jax.vmap(one_column)(lo, hi, prefs)
+        out = jax.vmap(one_column)(lo, hi, prefs)
+        # replicate the chunk roots so every process's host pull is local
+        return jax.lax.all_gather(out, AXIS, axis=0, tiled=True)
 
     f = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
-        out_specs=P(AXIS, None, None),
+        out_specs=P(),
         check_vma=False,
     )
     return jax.jit(f)
@@ -99,10 +101,14 @@ class ShardedColumnEngine:
                 prefs[i] = BJ._prefix_words(_label_prefix(lb))
             v[c:] = v[:1]  # padding columns (results dropped)
             prefs[c:] = prefs[:1]
-            lo = jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-            hi = jnp.asarray((v >> np.uint64(32)).astype(np.uint32))
+            from .prove_sharded import _gin
+
+            lo = _gin(self.mesh, P(AXIS, None), (v & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+            hi = _gin(self.mesh, P(AXIS, None), (v >> np.uint64(32)).astype(np.uint32))
             f = _sharded_group_commit(self.mesh, plen, self.chunk_log2)
-            roots = np.asarray(jax.device_get(f(lo, hi, jnp.asarray(prefs))))
+            roots = np.asarray(
+                jax.device_get(f(lo, hi, _gin(self.mesh, P(AXIS, None), prefs)))
+            )
             for i, lb in enumerate(lbs):
                 croots = (
                     np.ascontiguousarray(roots[i].astype("<u4"))

@@ -40,7 +40,7 @@ import numpy as np
 from ..ops import goldilocks as G
 from ..ops import ntt as ntt_host
 from ..stark.v1.proof import FriQuery
-from .mesh import AXIS
+from .mesh import AXIS, make_global
 
 # Device FRI layers stop when the layer drops below this size; the remaining
 # tail folds on host (mirrors stark/v1/fri_device.MIN_DEVICE_LAYER_LOG2).
@@ -62,6 +62,29 @@ def _jnp():
 def _cv_bytes(cv_rows: np.ndarray) -> np.ndarray:
     out = np.ascontiguousarray(cv_rows, dtype="<u4")
     return out.view(np.uint8).reshape(out.shape[0], 32)
+
+
+def _gin(mesh, spec, arr):
+    """Program input: plain device array single-process, global jax.Array
+    (built from each process's replicated host copy) under jax.distributed."""
+    jax = _jax()
+    if jax.process_count() == 1:
+        return _jnp().asarray(arr)
+    return make_global(mesh, spec, np.asarray(arr))
+
+
+@lru_cache(maxsize=8)
+def _gather_fns(mesh):
+    """Jitted gathers with fully-replicated outputs — multi-process-safe
+    pulls from sharded global arrays (eager indexing of a global array
+    whose shards live on other processes is not allowed)."""
+    jax = _jax()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    g_val = jax.jit(lambda a, i: a[i], out_shardings=rep)
+    g_plane = jax.jit(lambda a, i: a[:, i].T, out_shardings=rep)
+    return g_val, g_plane
 
 
 # ---------------------------------------------------------------------------
@@ -318,7 +341,10 @@ def _build_phase1(d: int, base_log2: int, blow_log2: int, tau: int,
             nat = tuple(x.T.reshape(lnloc) for x in y)
 
         tree0, root0 = _local_tree(nat[0], nat[1])
-        return nat[0], nat[1], tree0, root0.T
+        # replicate the [D, 8] subtree roots so the host pull is local on
+        # every process of a multi-process mesh
+        roots_rep = jax.lax.all_gather(root0.T, AXIS, axis=0, tiled=True)
+        return nat[0], nat[1], tree0, roots_rep
 
     f = shard_map(
         local,
@@ -328,7 +354,7 @@ def _build_phase1(d: int, base_log2: int, blow_log2: int, tau: int,
             P(), P(), P(), P(), P(), P(),  # alphas, masks, z
             P(),                           # tables (replicated pytree)
         ),
-        out_specs=(P(AXIS), P(AXIS), P(None, AXIS), P(AXIS, None)),
+        out_specs=(P(AXIS), P(AXIS), P(None, AXIS), P()),
         check_vma=False,
     )
     return jax.jit(f), mesh, t
@@ -419,7 +445,10 @@ def _build_phase2(d: int, ln_log2: int, dev_layers: int):
             level_bufs.append(nxt)
             sizes = [s // 2 for s in sizes]
 
-        roots_stacked = jnp.stack([r.T for r in roots])  # [L, 1, 8]
+        # [L, 8] local roots -> [L, D, 8] replicated (local host pull on
+        # every process of a multi-process mesh)
+        rs = jnp.concatenate([r.T for r in roots], axis=0)
+        roots_rep = jax.lax.all_gather(rs, AXIS, axis=1)
 
         # replicated tail (last folded layer) for the host fold
         tail = folded_parts[-1]
@@ -429,7 +458,7 @@ def _build_phase2(d: int, ln_log2: int, dev_layers: int):
         else:
             tail_lo, tail_hi = tail[0], tail[1]
 
-        return vals_lo, vals_hi, tuple(level_bufs), roots_stacked, tail_lo, tail_hi
+        return vals_lo, vals_hi, tuple(level_bufs), roots_rep, tail_lo, tail_hi
 
     n_levels = 0
     sizes = list(segs)
@@ -446,7 +475,7 @@ def _build_phase2(d: int, ln_log2: int, dev_layers: int):
         out_specs=(
             P(AXIS), P(AXIS),
             tuple(P(None, AXIS) for _ in range(n_levels + 1)),
-            P(None, AXIS, None),
+            P(),
             P(), P(),
         ),
         check_vma=False,
@@ -466,8 +495,12 @@ class ShardedFri:
     commit_rest / final_value_le / open_queries); proof output is
     bit-identical to the host fri.py path."""
 
-    def __init__(self, d: int, ln_log2: int, lde_lo, lde_hi, tree0, roots0):
+    def __init__(self, d: int, ln_log2: int, lde_lo, lde_hi, tree0, roots0,
+                 mesh=None):
+        from .mesh import make_mesh
+
         self.d = d
+        self.mesh = mesh if mesh is not None else make_mesh(d)
         self.ln_log2 = ln_log2
         self.n = 1 << ln_log2
         self.lnloc = self.n // d
@@ -509,10 +542,13 @@ class ShardedFri:
         self._dev_layers = max(1, self.ln_log2 - MIN_DEVICE_LAYER_LOG2)
         L = self._dev_layers
         f, _mesh = _build_phase2(self.d, self.ln_log2, L)
+        from jax.sharding import PartitionSpec as P
+
         bl = np.array([b & 0xFFFFFFFF for b in betas[:L]], dtype=np.uint32)
         bh = np.array([b >> 32 for b in betas[:L]], dtype=np.uint32)
         vals_lo, vals_hi, level_bufs, roots_stacked, tail_lo, tail_hi = f(
-            self._lde[0], self._lde[1], jnp.asarray(bl), jnp.asarray(bh)
+            self._lde[0], self._lde[1],
+            _gin(self.mesh, P(), bl), _gin(self.mesh, P(), bh),
         )
         self._vals = (vals_lo, vals_hi)
         self._level_bufs = list(level_bufs)
@@ -658,21 +694,23 @@ class ShardedFri:
             positions.append(idx)
             plans.append((positions, layer_plan))
 
-        # ---- one batched pull ----
+        # ---- one batched pull (replicated-output jitted gathers: safe on
+        # multi-process meshes where the shards live on other hosts) ----
+        g_val, g_plane = _gather_fns(self.mesh)
         pulls = {}
         if val0_reqs:
-            i0 = jnp.asarray(np.array(val0_reqs, dtype=np.int32))
-            pulls["v0lo"] = self._lde[0][i0]
-            pulls["v0hi"] = self._lde[1][i0]
+            i0 = np.array(val0_reqs, dtype=np.int32)
+            pulls["v0lo"] = g_val(self._lde[0], i0)
+            pulls["v0hi"] = g_val(self._lde[1], i0)
         if val_reqs:
-            iv = jnp.asarray(np.array(val_reqs, dtype=np.int32))
-            pulls["vlo"] = self._vals[0][iv]
-            pulls["vhi"] = self._vals[1][iv]
+            iv = np.array(val_reqs, dtype=np.int32)
+            pulls["vlo"] = g_val(self._vals[0], iv)
+            pulls["vhi"] = g_val(self._vals[1], iv)
         for buf, idxs in node_reqs.items():
             arr = self._tree0 if buf[0] == "t0" else self._level_bufs[buf[1]]
-            pulls[f"n:{buf[0]}:{buf[1]}"] = arr[
-                :, jnp.asarray(np.array(idxs, np.int32))
-            ].T
+            pulls[f"n:{buf[0]}:{buf[1]}"] = g_plane(
+                arr, np.array(idxs, np.int32)
+            )
         got = jax.device_get(pulls)
         node_bytes = {
             buf: _cv_bytes(np.asarray(got[f"n:{buf[0]}:{buf[1]}"]))
@@ -746,25 +784,37 @@ class ShardedPipeline:
         mc = np.array(mask_coeffs, dtype=np.uint64)
         zp = np.uint64(z)
 
+        from jax.sharding import PartitionSpec as P
+
         f, _mesh, tabs = _build_phase1(
             self.d, base_log2, blow_log2, tau, mc.shape[0], mc.shape[1], shift
         )
+        mesh = self.mesh
+        import jax
+
+        tab_args = {
+            k: tabs[k]
+            for k in (
+                "t_inv1", "t_inv2", "t_f1", "t_f2", "w_inv", "w_fwd",
+                "inv_n", "s1", "s2", "x1", "x2", "xs_loc", "xs_dev",
+            )
+        }
+        if jax.process_count() > 1:
+            tab_args = jax.tree_util.tree_map(
+                lambda x: make_global(mesh, P(), np.asarray(x)), tab_args
+            )
         lde_lo, lde_hi, tree0, roots0 = f(
-            jnp.asarray(cols_lo), jnp.asarray(cols_hi),
-            jnp.asarray((a & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-            jnp.asarray((a >> np.uint64(32)).astype(np.uint32)),
-            jnp.asarray((mc & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-            jnp.asarray((mc >> np.uint64(32)).astype(np.uint32)),
-            jnp.asarray(np.uint32(zp & np.uint64(0xFFFFFFFF))),
-            jnp.asarray(np.uint32(zp >> np.uint64(32))),
-            {
-                k: tabs[k]
-                for k in (
-                    "t_inv1", "t_inv2", "t_f1", "t_f2", "w_inv", "w_fwd",
-                    "inv_n", "s1", "s2", "x1", "x2", "xs_loc", "xs_dev",
-                )
-            },
+            _gin(mesh, P(None, AXIS), cols_lo),
+            _gin(mesh, P(None, AXIS), cols_hi),
+            _gin(mesh, P(), (a & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            _gin(mesh, P(), (a >> np.uint64(32)).astype(np.uint32)),
+            _gin(mesh, P(), (mc & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            _gin(mesh, P(), (mc >> np.uint64(32)).astype(np.uint32)),
+            _gin(mesh, P(), np.uint32(zp & np.uint64(0xFFFFFFFF))),
+            _gin(mesh, P(), np.uint32(zp >> np.uint64(32))),
+            tab_args,
         )
         return ShardedFri(
-            self.d, base_log2 + blow_log2, lde_lo, lde_hi, tree0, roots0
+            self.d, base_log2 + blow_log2, lde_lo, lde_hi, tree0, roots0,
+            mesh=mesh,
         )

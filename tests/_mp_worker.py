@@ -1,16 +1,24 @@
-"""Worker process for the multi-process jax.distributed test.
+"""Worker process for the multi-process jax.distributed tests.
 
-Launched N times by tests/test_parallel.py::test_multiprocess_distributed_*
-with SEZKP_COORDINATOR / SEZKP_NUM_PROCESSES / SEZKP_PROCESS_ID set (the
-exact env contract of parallel/distributed.py). Each process:
+Launched N times by tests/test_parallel.py::test_multiprocess_* with
+SEZKP_COORDINATOR / SEZKP_NUM_PROCESSES / SEZKP_PROCESS_ID set (the exact
+env contract of parallel/distributed.py). Two modes (argv[3]):
 
+"replicated" (default): sharded ingest + replicated prove —
 1. wires into the multi-process runtime via ensure_initialized()
 2. leaf-hashes ITS contiguous shard of the blocks (process_shard_bounds),
    allgathers the 32-byte digests (DCN-analogue traffic), and folds them
    through one streaming Frontier — every process derives the same root
 3. proves a small STARK v1 proof and hashes the bytes
-4. writes root/proof-hash/topology facts to its result file for the parent
-   test to compare against the sequential single-process run
+
+"sharded": the proof itself is computed ONCE, SPMD, across the global
+P-process x 2-device mesh — prove_v1_sharded runs column commitments, AIR
+composition, distributed NTTs (all_to_all), FRI folds (ppermute) and
+Merkle trees as shard_map programs spanning OS-process boundaries; every
+process assembles identical proof bytes from the replicated pulls.
+
+Both modes write root/proof-hash/topology facts to the result file for
+the parent test to compare against the sequential single-process run.
 """
 
 import hashlib
@@ -22,6 +30,7 @@ import sys
 def main() -> None:
     out_path = sys.argv[1]
     blocks_path = sys.argv[2]
+    mode = sys.argv[3] if len(sys.argv) > 3 else "replicated"
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = [
@@ -70,8 +79,17 @@ def main() -> None:
         fr.push_leaves(np.asarray(gathered[p][: int(counts[p, 0])]))
     root = fr.finalize_root()
 
-    # --- replicated prove: every process derives identical proof bytes ---
-    proof = prove_v1(blocks, root)
+    if mode == "sharded":
+        # --- SPMD prove across the GLOBAL multi-process mesh: one proof,
+        # computed once, collectives spanning OS-process boundaries ---
+        from sezkp_tpu.parallel.distributed import global_mesh
+        from sezkp_tpu.parallel.engine import prove_v1_sharded
+
+        mesh = global_mesh()
+        proof = prove_v1_sharded(blocks, root, mesh)
+    else:
+        # --- replicated prove: every process derives identical bytes ---
+        proof = prove_v1(blocks, root)
     digest = hashlib.sha256(encode_proof(proof)).hexdigest()
 
     with open(out_path, "w") as f:

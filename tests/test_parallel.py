@@ -360,3 +360,79 @@ def test_multiprocess_distributed_commit_and_prove(tmp_path, nproc):
     spans = [tuple(r["shard"]) for r in results]
     assert spans[0][0] == 0 and spans[-1][1] == len(blocks)
     assert all(spans[i][1] == spans[i + 1][0] for i in range(nproc - 1))
+
+
+@pytest.mark.slow
+def test_multiprocess_sharded_prove(tmp_path):
+    """The SPMD sharded prover spans OS-process boundaries: 2 processes x
+    2 CPU devices join one jax.distributed runtime and run prove_v1_sharded
+    over the GLOBAL 4-device mesh — composition, distributed NTTs
+    (all_to_all), FRI folds (ppermute) and Merkle trees execute as one
+    shard_map program whose collectives cross the process boundary; every
+    process assembles proof bytes identical to the sequential single-process
+    prover (VERDICT round-2 item 2; SURVEY.md section 5.8 'multi-host
+    output == single-host output bit-exactly')."""
+    import hashlib
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from sezkp_tpu.commit.merkle import commit_blocks
+    from sezkp_tpu.core.io import write_block_summaries_auto
+    from sezkp_tpu.stark.v1.proof import encode_proof
+    from sezkp_tpu.stark.v1.prover import prove_v1
+    from sezkp_tpu.trace.generator import generate_trace
+    from sezkp_tpu.trace.partition import partition_trace
+
+    nproc = 2
+    blocks = partition_trace(generate_trace(4096, 2), 64)
+    blocks_path = str(tmp_path / "blocks.cbor")
+    write_block_summaries_auto(blocks_path, blocks)
+
+    seq_root = commit_blocks(blocks).root
+    seq_digest = hashlib.sha256(
+        encode_proof(prove_v1(blocks, seq_root))
+    ).hexdigest()
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env.update(
+            SEZKP_COORDINATOR=f"localhost:{port}",
+            SEZKP_NUM_PROCESSES=str(nproc),
+            SEZKP_PROCESS_ID=str(pid),
+        )
+        out = str(tmp_path / f"result_{pid}.json")
+        procs.append(
+            (
+                subprocess.Popen(
+                    [sys.executable, worker, out, blocks_path, "sharded"],
+                    env=env,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                ),
+                out,
+            )
+        )
+
+    results = []
+    for p, out in procs:
+        stdout, _ = p.communicate(timeout=360)
+        assert p.returncode == 0, f"worker failed:\n{stdout.decode()[-3000:]}"
+        with open(out) as f:
+            results.append(json.load(f))
+
+    for i, r in enumerate(results):
+        assert r["process_count"] == nproc
+        assert r["global_devices"] == 2 * nproc
+        assert r["root"] == seq_root.hex()
+        assert r["proof_sha256"] == seq_digest, (
+            "cross-process sharded proof bytes != sequential proof bytes"
+        )
