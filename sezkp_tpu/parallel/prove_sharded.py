@@ -46,6 +46,20 @@ from .mesh import AXIS, make_global
 # tail folds on host (mirrors stark/v1/fri_device.MIN_DEVICE_LAYER_LOG2).
 MIN_DEVICE_LAYER_LOG2 = 11
 
+# Tops-only (chunked) Merkle storage: per-device subtree levels below this
+# are not kept across phases — queried in-chunk path nodes are recomputed
+# from 2^CHUNK_LOG2 gathered leaf values at opening time (mirrors
+# stark/v1/fri_device.py's chunked mode for the single-chip prover).
+CHUNK_LOG2 = 11
+
+
+def _tops_threshold_log2() -> int:
+    """LDE size (log2) at which the sharded prover switches to tops-only
+    tree storage; full local subtrees at 2^26 LDE are ~0.5 GB/device."""
+    import os
+
+    return int(os.environ.get("SEZKP_SHARDED_TOPS_MIN_LOG2", "20"))
+
 
 def _jax():
     import jax
@@ -173,10 +187,13 @@ def _four_step(lohi, n1_log2: int, n2_log2: int, tabs1, tabs2, wtab, d: int):
     return ntt_jax._ntt_stages((lo, hi), tabs2, n2_log2)
 
 
-def _local_tree(lo, hi):
+def _local_tree(lo, hi, tops: bool = False):
     """Leaf-hash a local value shard and build the full local subtree.
 
-    Returns (flat [8, 2m-1] plane buffer with level 0 first, root [8, 1])."""
+    Returns (flat plane buffer, root [8, 1]). Full mode keeps every level
+    (level 0 first, [8, 2m-1]); tops mode keeps only levels >= CHUNK_LOG2
+    ([8, 2*(m>>c)-1]) — the below-chunk levels are computed transiently
+    for the upper nodes and recomputed per queried chunk at opening."""
     jnp = _jnp()
     from ..ops import blake3_jax as BJ
 
@@ -186,7 +203,8 @@ def _local_tree(lo, hi):
     levels = [cv]
     while levels[-1].shape[1] > 1:
         levels.append(BJ.parent_level_planes(levels[-1]))
-    return jnp.concatenate(levels, axis=1), levels[-1]
+    keep = levels[CHUNK_LOG2:] if tops else levels
+    return jnp.concatenate(keep, axis=1), levels[-1]
 
 
 # ---------------------------------------------------------------------------
@@ -196,10 +214,18 @@ def _local_tree(lo, hi):
 
 @lru_cache(maxsize=4)
 def _build_phase1(d: int, base_log2: int, blow_log2: int, tau: int,
-                  n_masks: int, mask_deg: int, shift: int):
-    """cols [C, n] row-sharded -> (lde natural [ln] P(AXIS),
-    layer-0 tree planes [8, D*(2*lnloc-1)] P(None, AXIS),
-    layer-0 subtree roots [D, 8] P(AXIS, None))."""
+                  n_masks: int, mask_deg: int, shift: int,
+                  nb: int = 0, raw: bool = False, tops: bool = False):
+    """Compile phase 1 -> (lde natural [ln] P(AXIS), layer-0 tree planes
+    P(None, AXIS) (full local subtrees, or levels >= CHUNK_LOG2 when
+    tops=True), layer-0 subtree roots [D, 8] replicated).
+
+    raw=False: input is the host-built cols [C, n], row-sharded.
+    raw=True: inputs are the raw movement logs / block tables (sharded
+    over rows; per-block tables replicated) and every device derives its
+    own [C, n/D] column slab in-kernel via derive_cols_core — no [C, n]
+    materialization anywhere (columns_device.py's schedule, composed with
+    the mesh; VERDICT round-2 item 3a)."""
     jax = _jax()
     import jax.numpy as jnp
     from jax import shard_map
@@ -225,7 +251,12 @@ def _build_phase1(d: int, base_log2: int, blow_log2: int, tau: int,
         f"ln1={ln1} ln2={ln2} D={d}"
     )
 
-    def local(cols_lo, cols_hi, a_lo, a_hi, mc_lo, mc_hi, z_lo, z_hi, tabs):
+    if tops:
+        assert lnloc > (1 << CHUNK_LOG2), (
+            f"tops-only mode needs local LDE shards > 2^{CHUNK_LOG2}"
+        )
+
+    def pipeline(cols_lo, cols_hi, a_lo, a_hi, mc_lo, mc_hi, z_lo, z_hi, tabs):
         di = jax.lax.axis_index(AXIS)
         perm_next = [(i, (i - 1) % d) for i in range(d)]
 
@@ -285,28 +316,53 @@ def _build_phase1(d: int, base_log2: int, blow_log2: int, tau: int,
         )
         Y = FJ.mul(Y, sc)
 
-        # ---- replicate coefficients, build the local LDE input slice ----
-        # (coeffs are n elements vs the 2^blow-times-larger LDE domain; an
-        # all_gather here is the same per-link volume as the NTT all_to_all)
+        # ---- redistribute coefficients into the LDE four-step input ----
+        # Y[k1, k2] is k1-row-sharded; the forward four-step wants
+        # A[j1, j2] = c[j1*ln2 + j2] (zero for j >= n), j2-column-sharded.
+        # Round 2 all_gathered the full coefficient vector to every device
+        # (O(n) memory + O(n) per-device traffic); instead:
+        #   1. all_to_all to k2-sharding -> each device holds a CONTIGUOUS
+        #      natural-order coefficient range (k = k1 + n1*k2 is contiguous
+        #      when k2 is the sharded axis and k1 local-free);
+        #   2. view the contiguous range as [G, ln2] rows j1 = di*G + g
+        #      (exact because D * ln2 divides n), and all_to_all the j2
+        #      columns to their owners.
+        # Both steps move O(n/D) per device.
         if d > 1:
-            g_lo = jax.lax.all_gather(Y[0], AXIS).reshape(n1, n2)
-            g_hi = jax.lax.all_gather(Y[1], AXIS).reshape(n1, n2)
+            t_lo = jax.lax.all_to_all(
+                Y[0], AXIS, split_axis=1, concat_axis=0, tiled=True
+            )  # [n1, n2/D]: all k1, local k2 slice
+            t_hi = jax.lax.all_to_all(
+                Y[1], AXIS, split_axis=1, concat_axis=0, tiled=True
+            )
         else:
-            g_lo, g_hi = Y[0], Y[1]
-        c_nat_lo = g_lo.T.reshape(n)  # natural order: c[k], k = k1 + n1*k2
-        c_nat_hi = g_hi.T.reshape(n)
-
-        ln2loc = ln2 // d
-        j1 = jax.lax.broadcasted_iota(jnp.uint32, (ln1, ln2loc), 0)
-        j2 = jax.lax.broadcasted_iota(jnp.uint32, (ln1, ln2loc), 1) + (
-            di.astype(jnp.uint32) * np.uint32(ln2loc)
+            t_lo, t_hi = Y
+        # contiguous natural order: k = k1 + n1*k2 -> column-major flatten
+        c_lo = t_lo.T.reshape(-1)  # [n/D], k in [di*n/D, (di+1)*n/D)
+        c_hi = t_hi.T.reshape(-1)
+        assert n % (d * ln2) == 0, (
+            f"coefficient relayout needs D*ln2 | n (n={n} ln2={ln2} D={d})"
         )
-        j = j1 * np.uint32(ln2) + j2
-        ok = j < np.uint32(n)
-        jc = jnp.where(ok, j, 0)
+        g_rows = n // (d * ln2)
+        A2_lo = c_lo.reshape(g_rows, ln2)  # rows j1 = di*g_rows + g
+        A2_hi = c_hi.reshape(g_rows, ln2)
+        if d > 1:
+            A2_lo = jax.lax.all_to_all(
+                A2_lo, AXIS, split_axis=1, concat_axis=0, tiled=True
+            )  # [g_rows*D = n/ln2, ln2/D]: all j1 < n/ln2, local j2 slice
+            A2_hi = jax.lax.all_to_all(
+                A2_hi, AXIS, split_axis=1, concat_axis=0, tiled=True
+            )
+        ln2loc = ln2 // d
+        # zero-pad rows j1 in [n/ln2, ln1)
+        pad = ln1 - n // ln2
         Al = (
-            jnp.where(ok, c_nat_lo[jc], 0),
-            jnp.where(ok, c_nat_hi[jc], 0),
+            jnp.concatenate(
+                [A2_lo, jnp.zeros((pad, ln2loc), jnp.uint32)], axis=0
+            ),
+            jnp.concatenate(
+                [A2_hi, jnp.zeros((pad, ln2loc), jnp.uint32)], axis=0
+            ),
         )
 
         # ---- distributed forward NTT on the blown-up domain ----
@@ -340,20 +396,54 @@ def _build_phase1(d: int, base_log2: int, blow_log2: int, tau: int,
         else:
             nat = tuple(x.T.reshape(lnloc) for x in y)
 
-        tree0, root0 = _local_tree(nat[0], nat[1])
+        tree0, root0 = _local_tree(nat[0], nat[1], tops)
         # replicate the [D, 8] subtree roots so the host pull is local on
         # every process of a multi-process mesh
         roots_rep = jax.lax.all_gather(root0.T, AXIS, axis=0, tiled=True)
         return nat[0], nat[1], tree0, roots_rep
 
-    f = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
+    if raw:
+        from ..stark.v1.columns_device import derive_cols_core
+
+        def local(imv, tmv, wfl, wsy, bo, isf, isl, winl, inof, outof,
+                  anchor, carry_shard,
+                  a_lo, a_hi, mc_lo, mc_hi, z_lo, z_hi, tabs):
+            di = jax.lax.axis_index(AXIS)
+            cols_lo, cols_hi = derive_cols_core(
+                imv, tmv, wfl, wsy, bo, isf, isl,
+                winl, inof, outof, anchor, carry_shard[:, di],
+            )
+            return pipeline(
+                cols_lo, cols_hi, a_lo, a_hi, mc_lo, mc_hi, z_lo, z_hi, tabs
+            )
+
+        in_specs = (
+            P(AXIS),                             # input_mv [n]
+            P(None, AXIS), P(None, AXIS), P(None, AXIS),  # tmv/wfl/wsy [tau, n]
+            P(AXIS), P(AXIS), P(AXIS),           # block_of, is_first, is_last
+            P(), P(), P(),                       # win_len, in_off, out_off
+            P(), P(),                            # anchor, carry_shard
+            P(), P(), P(), P(), P(), P(),        # alphas, masks, z
+            P(),                                 # tables
+        )
+    else:
+
+        def local(cols_lo, cols_hi, a_lo, a_hi, mc_lo, mc_hi, z_lo, z_hi,
+                  tabs):
+            return pipeline(
+                cols_lo, cols_hi, a_lo, a_hi, mc_lo, mc_hi, z_lo, z_hi, tabs
+            )
+
+        in_specs = (
             P(None, AXIS), P(None, AXIS),  # cols
             P(), P(), P(), P(), P(), P(),  # alphas, masks, z
             P(),                           # tables (replicated pytree)
-        ),
+        )
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=in_specs,
         out_specs=(P(AXIS), P(AXIS), P(None, AXIS), P()),
         check_vma=False,
     )
@@ -361,10 +451,11 @@ def _build_phase1(d: int, base_log2: int, blow_log2: int, tau: int,
 
 
 @lru_cache(maxsize=4)
-def _build_phase2(d: int, ln_log2: int, dev_layers: int):
+def _build_phase2(d: int, ln_log2: int, dev_layers: int, tops: bool = False):
     """lde natural [ln] P(AXIS) + betas -> folded layer values (device-major
-    concat), per-level cross-layer node buffers, per-layer subtree roots,
-    and the replicated tail layer."""
+    concat), per-level cross-layer node buffers (levels >= CHUNK_LOG2 only
+    when tops=True; lower levels are transient and recomputed per queried
+    chunk at opening), per-layer subtree roots, and the replicated tail."""
     jax = _jax()
     import jax.numpy as jnp
     from jax import shard_map
@@ -458,7 +549,11 @@ def _build_phase2(d: int, ln_log2: int, dev_layers: int):
         else:
             tail_lo, tail_hi = tail[0], tail[1]
 
-        return vals_lo, vals_hi, tuple(level_bufs), roots_rep, tail_lo, tail_hi
+        keep_from = CHUNK_LOG2 if tops else 0
+        return (
+            vals_lo, vals_hi, tuple(level_bufs[keep_from:]), roots_rep,
+            tail_lo, tail_hi,
+        )
 
     n_levels = 0
     sizes = list(segs)
@@ -468,13 +563,15 @@ def _build_phase2(d: int, ln_log2: int, dev_layers: int):
         sizes = [s // 2 for s in sizes]
         n_levels += 1
 
+    n_bufs = n_levels + 1 - (CHUNK_LOG2 if tops else 0)
+    n_bufs = max(n_bufs, 0)
     f = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(), P()),
         out_specs=(
             P(AXIS), P(AXIS),
-            tuple(P(None, AXIS) for _ in range(n_levels + 1)),
+            tuple(P(None, AXIS) for _ in range(n_bufs)),
             P(),
             P(), P(),
         ),
@@ -488,6 +585,58 @@ def _build_phase2(d: int, ln_log2: int, dev_layers: int):
 # ---------------------------------------------------------------------------
 
 
+def raw_shard_args(mesh, d: int, blocks):
+    """Build the 12 raw-input program arguments for the in-kernel column
+    derivation: per-row arrays sharded over the mesh, per-block tables and
+    cumsum anchors replicated. The per-shard carry handles shard
+    boundaries that fall inside a block (partial within-block sums)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..stark.v1.columns_device import _host_inputs
+
+    h = _host_inputs(blocks)
+    n = h["n"]
+    # exclusive tape-mv cumsum at each block start, via per-block sums
+    # (no O(n*tau) i32 cumsum materialization)
+    bs = h["block_start"]
+    block_sums = np.add.reduceat(
+        h["tape_mv"].astype(np.int64), bs, axis=0
+    )  # [nb, tau]
+    anchor = ((np.cumsum(block_sums, axis=0) - block_sums).T).astype(
+        np.int32
+    )  # [tau, nb]
+    nloc = n // d
+    starts = np.arange(d, dtype=np.int64) * nloc
+    sb = np.searchsorted(bs, starts, side="right") - 1
+    parts = np.stack(
+        [
+            h["tape_mv"][bs[sb[i]] : starts[i]].astype(np.int64).sum(axis=0)
+            for i in range(d)
+        ],
+        axis=1,
+    )  # [tau, D]
+    carry_shard = (anchor[:, sb].astype(np.int64) + parts).astype(np.int32)
+    return (
+        _gin(mesh, P(AXIS), h["input_mv"]),
+        _gin(mesh, P(None, AXIS), np.ascontiguousarray(h["tape_mv"].T)),
+        _gin(mesh, P(None, AXIS),
+             np.ascontiguousarray(h["wflag"].astype(np.uint8).T)),
+        _gin(mesh, P(None, AXIS),
+             np.ascontiguousarray(h["wsym"].astype(np.uint16).T)),
+        _gin(mesh, P(AXIS), h["block_of"]),
+        _gin(mesh, P(AXIS), h["is_first"]),
+        _gin(mesh, P(AXIS), h["is_last"]),
+        _gin(mesh, P(), np.ascontiguousarray(
+            (h["win_len"] & 0xFFFFFFFF).astype(np.uint32).T)),
+        _gin(mesh, P(), np.ascontiguousarray(
+            (h["in_off"] & 0xFFFFFFFF).astype(np.uint32).T)),
+        _gin(mesh, P(), np.ascontiguousarray(
+            (h["out_off"] & 0xFFFFFFFF).astype(np.uint32).T)),
+        _gin(mesh, P(), anchor),
+        _gin(mesh, P(), carry_shard),
+    )
+
+
 class ShardedFri:
     """FRI engine whose folds, layer hashing, and trees run on the mesh.
 
@@ -496,7 +645,7 @@ class ShardedFri:
     bit-identical to the host fri.py path."""
 
     def __init__(self, d: int, ln_log2: int, lde_lo, lde_hi, tree0, roots0,
-                 mesh=None):
+                 mesh=None, tops: bool = False):
         from .mesh import make_mesh
 
         self.d = d
@@ -504,14 +653,16 @@ class ShardedFri:
         self.ln_log2 = ln_log2
         self.n = 1 << ln_log2
         self.lnloc = self.n // d
+        self._tops = tops                   # tops-only tree storage
         self._lde = (lde_lo, lde_hi)        # [ln] natural, P(AXIS)
-        self._tree0 = tree0                 # [8, D*(2*lnloc-1)], P(None, AXIS)
+        self._tree0 = tree0                 # [8, D*W0] planes, P(None, AXIS)
         self._roots0 = roots0               # [D, 8]
         self._top_trees: Dict[int, "MerkleTree"] = {}
         self._roots: List[bytes] = []
         self._dev_layers = 0
         self._vals = None                   # folded values, device-major
         self._level_bufs: List = []
+        self._level_off = 0
         self._host_layers: Dict[int, np.ndarray] = {}
         self._host_trees: Dict[int, object] = {}
         self._final_value: int | None = None
@@ -541,7 +692,7 @@ class ShardedFri:
 
         self._dev_layers = max(1, self.ln_log2 - MIN_DEVICE_LAYER_LOG2)
         L = self._dev_layers
-        f, _mesh = _build_phase2(self.d, self.ln_log2, L)
+        f, _mesh = _build_phase2(self.d, self.ln_log2, L, self._tops)
         from jax.sharding import PartitionSpec as P
 
         bl = np.array([b & 0xFFFFFFFF for b in betas[:L]], dtype=np.uint32)
@@ -552,6 +703,9 @@ class ShardedFri:
         )
         self._vals = (vals_lo, vals_hi)
         self._level_bufs = list(level_bufs)
+        # in tops mode the stored buffers start at simulation level
+        # CHUNK_LOG2 (lower levels are recomputed per queried chunk)
+        self._level_off = CHUNK_LOG2 if self._tops else 0
 
         # per-level segment offsets: level j holds layers whose local seg
         # count is still > 1 after j-1 parentings, plus trailing roots at
@@ -559,7 +713,7 @@ class ShardedFri:
         self._p2_segs = []
         sizes = [self._seg(l) for l in range(1, L + 1)]
         cur = list(sizes)
-        for _ in range(len(self._level_bufs)):
+        for _ in range(len(self._level_bufs) + self._level_off):
             offs = []
             o = 0
             for li, s in enumerate(cur):
@@ -610,12 +764,15 @@ class ShardedFri:
     def _node_ref(self, layer: int, level: int, pos: int):
         """(buffer_id, flat_col) of node (level, pos) in device layer trees.
 
-        buffer_id: ("t0", j) for layer 0, ("p2", j) for folded layers."""
+        buffer_id: ("t0", j) for layer 0, ("p2", j) for folded layers.
+        In tops mode only levels >= CHUNK_LOG2 are stored (plan_path never
+        requests lower ones here)."""
         if layer == 0:
             seg = self.lnloc >> level
             dev = pos // seg
-            off0 = 2 * self.lnloc - 2 * (self.lnloc >> level)
-            return ("t0", 0), dev * (2 * self.lnloc - 1) + off0 + (pos % seg)
+            base = self.lnloc >> CHUNK_LOG2 if self._tops else self.lnloc
+            off0 = 2 * base - 2 * (self.lnloc >> level)
+            return ("t0", 0), dev * (2 * base - 1) + off0 + (pos % seg)
         # phase-2 cross-layer level buffers
         seg = self._seg(layer) >> level
         dev = pos // seg
@@ -655,13 +812,28 @@ class ShardedFri:
                 val_reqs.append(flat)
             return ("val", val_seq[flat])
 
+        chunk_reqs: Dict[Tuple[int, int], int] = {}  # (layer, chunk) -> order
+
         def plan_path(layer: int, layer_len: int, target: int):
             if layer > L:
                 return ("hosttree", layer, target)
             s = (layer_len // self.d).bit_length() - 1  # local subtree height
             refs = []
-            t = target
-            for lev in range(s):
+            prefix = None
+            lev0 = 0
+            if self._tops:
+                # levels below the chunk boundary are not stored: the whole
+                # in-chunk path prefix is recomputed from the chunk's leaf
+                # values (one Merkle rebuild per distinct (layer, chunk))
+                c_eff = min(CHUNK_LOG2, s)
+                if c_eff > 0:
+                    cid = target >> c_eff
+                    chunk_reqs.setdefault((layer, cid), len(chunk_reqs))
+                    prefix = ("chunk", (layer, cid),
+                              target & ((1 << c_eff) - 1))
+                    lev0 = c_eff
+            t = target >> lev0
+            for lev in range(lev0, s):
                 sib = t ^ 1
                 buf, flat = self._node_ref(layer, lev, sib)
                 lst = node_reqs.setdefault(buf, [])
@@ -671,7 +843,7 @@ class ShardedFri:
                     lst.append(flat)
                 refs.append((buf, seq[flat]))
                 t >>= 1
-            return ("dev", refs, ("top", layer, target >> s))
+            return ("dev", refs, ("top", layer, target >> s), prefix)
 
         plans = []
         for idx0 in fri_rows:
@@ -707,11 +879,55 @@ class ShardedFri:
             pulls["vlo"] = g_val(self._vals[0], iv)
             pulls["vhi"] = g_val(self._vals[1], iv)
         for buf, idxs in node_reqs.items():
-            arr = self._tree0 if buf[0] == "t0" else self._level_bufs[buf[1]]
+            arr = (
+                self._tree0
+                if buf[0] == "t0"
+                else self._level_bufs[buf[1] - self._level_off]
+            )
             pulls[f"n:{buf[0]}:{buf[1]}"] = g_plane(
                 arr, np.array(idxs, np.int32)
             )
+        # chunk leaf values for tops-mode in-chunk path recomputes: each
+        # chunk is a contiguous run of layer values (contiguous in the lde
+        # for layer 0, contiguous in the device-major vals buffer otherwise)
+        chunk_list = sorted(chunk_reqs, key=chunk_reqs.get)
+        ch0_idx, chv_idx = [], []
+        ch_slices = {}
+        for (layer, cid) in chunk_list:
+            s = (self._seg(layer)).bit_length() - 1
+            c_eff = min(CHUNK_LOG2, s)
+            sz = 1 << c_eff
+            base = cid << c_eff
+            if layer == 0:
+                ch_slices[(layer, cid)] = ("c0", len(ch0_idx), sz)
+                ch0_idx.extend(range(base, base + sz))
+            else:
+                flat = self._vals_flat_index(layer, base)
+                ch_slices[(layer, cid)] = ("cv", len(chv_idx), sz)
+                chv_idx.extend(range(flat, flat + sz))
+        if ch0_idx:
+            i0c = np.array(ch0_idx, dtype=np.int32)
+            pulls["c0lo"] = g_val(self._lde[0], i0c)
+            pulls["c0hi"] = g_val(self._lde[1], i0c)
+        if chv_idx:
+            ivc = np.array(chv_idx, dtype=np.int32)
+            pulls["cvlo"] = g_val(self._vals[0], ivc)
+            pulls["cvhi"] = g_val(self._vals[1], ivc)
         got = jax.device_get(pulls)
+
+        chunk_trees = {}
+        if chunk_list:
+            from ..ops import goldilocks as G_
+            from ..stark.v1 import fri as host_fri
+
+            for key in chunk_list:
+                kind, off, sz = ch_slices[key]
+                lo = got["c0lo" if kind == "c0" else "cvlo"][off : off + sz]
+                hi = got["c0hi" if kind == "c0" else "cvhi"][off : off + sz]
+                vals = np.asarray(lo).astype(np.uint64) | (
+                    np.asarray(hi).astype(np.uint64) << np.uint64(32)
+                )
+                chunk_trees[key] = host_fri.layer_tree(vals)
         node_bytes = {
             buf: _cv_bytes(np.asarray(got[f"n:{buf[0]}:{buf[1]}"]))
             for buf in node_reqs
@@ -732,8 +948,12 @@ class ShardedFri:
             if p[0] == "hosttree":
                 _, layer, target = p
                 return self._host_trees[layer].open(target)
-            _, refs, (_t, layer, top_idx) = p
-            out = [node_bytes[buf][i].tobytes() for buf, i in refs]
+            _, refs, (_t, layer, top_idx), prefix = p
+            out = []
+            if prefix is not None:
+                _c, key, in_chunk = prefix
+                out += chunk_trees[key].open(in_chunk)
+            out += [node_bytes[buf][i].tobytes() for buf, i in refs]
             out += self._top_trees[layer].open(top_idx)
             return out
 
@@ -752,10 +972,13 @@ class ShardedPipeline:
 
     Entry point used by prove_v1 via ShardedProverEngine.deep_lde_fri."""
 
-    def __init__(self, mesh, tc, shift: int = 3):
+    def __init__(self, mesh, tc, shift: int = 3, blocks=None):
         self.mesh = mesh
         self.d = int(mesh.devices.size)
         self.tc = tc
+        self.blocks = blocks  # raw block summaries: enables the in-kernel
+        #                       per-shard column derivation (no [C, n] host
+        #                       materialization)
 
     def deep_lde_fri(self, alphas, mask_coeffs, blow_log2: int, shift: int,
                      z: int) -> ShardedFri:
@@ -767,11 +990,6 @@ class ShardedPipeline:
         base_log2 = n.bit_length() - 1
         tau = tc.tau
         labels = all_labels(tau)
-        cols = np.empty((len(labels), n), dtype=np.uint64)
-        for i, lb in enumerate(labels):
-            cols[i] = tc.column_by_label(lb)
-        cols_lo = (cols & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        cols_hi = (cols >> np.uint64(32)).astype(np.uint32)
 
         a_list = [
             alphas.bool_flag, alphas.mv_domain, alphas.head_update,
@@ -786,11 +1004,32 @@ class ShardedPipeline:
 
         from jax.sharding import PartitionSpec as P
 
-        f, _mesh, tabs = _build_phase1(
-            self.d, base_log2, blow_log2, tau, mc.shape[0], mc.shape[1], shift
-        )
+        tops = (base_log2 + blow_log2) >= _tops_threshold_log2()
+        raw = self.blocks is not None
         mesh = self.mesh
         import jax
+
+        if raw:
+            nb = len(self.blocks)
+            f, _mesh, tabs = _build_phase1(
+                self.d, base_log2, blow_log2, tau, mc.shape[0], mc.shape[1],
+                shift, nb=nb, raw=True, tops=tops,
+            )
+            head_args = raw_shard_args(mesh, self.d, self.blocks)
+        else:
+            cols = np.empty((len(labels), n), dtype=np.uint64)
+            for i, lb in enumerate(labels):
+                cols[i] = tc.column_by_label(lb)
+            cols_lo = (cols & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            cols_hi = (cols >> np.uint64(32)).astype(np.uint32)
+            f, _mesh, tabs = _build_phase1(
+                self.d, base_log2, blow_log2, tau, mc.shape[0], mc.shape[1],
+                shift, tops=tops,
+            )
+            head_args = (
+                _gin(mesh, P(None, AXIS), cols_lo),
+                _gin(mesh, P(None, AXIS), cols_hi),
+            )
 
         tab_args = {
             k: tabs[k]
@@ -804,8 +1043,7 @@ class ShardedPipeline:
                 lambda x: make_global(mesh, P(), np.asarray(x)), tab_args
             )
         lde_lo, lde_hi, tree0, roots0 = f(
-            _gin(mesh, P(None, AXIS), cols_lo),
-            _gin(mesh, P(None, AXIS), cols_hi),
+            *head_args,
             _gin(mesh, P(), (a & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
             _gin(mesh, P(), (a >> np.uint64(32)).astype(np.uint32)),
             _gin(mesh, P(), (mc & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
@@ -816,5 +1054,5 @@ class ShardedPipeline:
         )
         return ShardedFri(
             self.d, base_log2 + blow_log2, lde_lo, lde_hi, tree0, roots0,
-            mesh=mesh,
+            mesh=mesh, tops=tops,
         )

@@ -159,6 +159,56 @@ def _jit_columns(n: int, tau: int, nb: int):
 CARRY_GRAN_LOG2 = 10
 
 
+def derive_cols_core(imv, tmv, wfl, wsy, bo, isf, isl,
+                     win_len, in_off, out_off, anchor, carry_start):
+    """Traced core: derive the [C, L] column limb planes for one contiguous
+    row range directly from raw movement logs.
+
+    imv i8 [L]; tmv i8 [tau, L]; wfl u8 [tau, L]; wsy u16 [tau, L];
+    bo i32 [L] global block index per row; isf/isl u8 [L];
+    win_len/in_off/out_off u32 [tau, nb] (global, replicated);
+    anchor i32 [tau, nb] exclusive tape-mv csum at each block start;
+    carry_start i32 [tau] exclusive csum at the range start.
+
+    Shared by the openings range-derivation (`_jit_derive_ranges`) and the
+    mesh-sharded prover (parallel/prove_sharded.py), so the column
+    semantics cannot drift between them. Bit-identical to slices of
+    `_jit_columns` output (cross-tested)."""
+    import jax.numpy as jnp
+
+    tau = tmv.shape[0]
+    L = tmv.shape[1]
+    tmv32 = tmv.astype(jnp.int32)
+    g = jnp.cumsum(tmv32, axis=1) + carry_start[:, None]
+
+    cols_lo = []
+    cols_hi = []
+    zero_hi = jnp.zeros(L, jnp.uint32)
+    e = _from_i64_small(imv.astype(jnp.int32))
+    cols_lo.append(e[0]); cols_hi.append(e[1])
+    cols_lo.append(isf.astype(jnp.uint32)); cols_hi.append(zero_hi)
+    cols_lo.append(isl.astype(jnp.uint32)); cols_hi.append(zero_hi)
+
+    per_tape = {k: [] for k in
+                ("mv", "wflag", "wsym", "head", "winlen", "in_off", "out_off")}
+    for r in range(tau):
+        head_rel_r = (
+            g[r] - anchor[r, bo] + in_off[r, bo].astype(jnp.int32)
+        )
+        per_tape["mv"].append(_from_i64_small(tmv32[r]))
+        per_tape["wflag"].append((wfl[r].astype(jnp.uint32), zero_hi))
+        per_tape["wsym"].append((wsy[r].astype(jnp.uint32), zero_hi))
+        per_tape["head"].append(_from_i64_small(head_rel_r))
+        per_tape["winlen"].append((win_len[r, bo], zero_hi))
+        per_tape["in_off"].append((in_off[r, bo], zero_hi))
+        per_tape["out_off"].append((out_off[r, bo], zero_hi))
+    for name in ("mv", "wflag", "wsym", "head", "winlen", "in_off", "out_off"):
+        for r in range(tau):
+            cols_lo.append(per_tape[name][r][0])
+            cols_hi.append(per_tape[name][r][1])
+    return jnp.stack(cols_lo), jnp.stack(cols_hi)
+
+
 @lru_cache(maxsize=8)
 def _jit_derive_ranges(L: int, tau: int, nb: int, n_ranges: int):
     """[S] range starts -> [S, C, L] column limb planes, derived directly
@@ -182,38 +232,14 @@ def _jit_derive_ranges(L: int, tau: int, nb: int, n_ranges: int):
             imv = jax.lax.dynamic_slice(input_mv, (s,), (L,))
             isf = jax.lax.dynamic_slice(is_first, (s,), (L,))
             isl = jax.lax.dynamic_slice(is_last, (s,), (L,))
-            tmv = jax.lax.dynamic_slice(tape_mv, (0, s), (tau, L)).astype(jnp.int32)
+            tmv = jax.lax.dynamic_slice(tape_mv, (0, s), (tau, L))
             wfl = jax.lax.dynamic_slice(wflag, (0, s), (tau, L))
             wsy = jax.lax.dynamic_slice(wsym, (0, s), (tau, L))
             ci = s >> CARRY_GRAN_LOG2
-            g = jnp.cumsum(tmv, axis=1) + carry[:, ci][:, None]
-
-            cols_lo = []
-            cols_hi = []
-            zero_hi = jnp.zeros(L, jnp.uint32)
-            e = from_i64_small(imv.astype(jnp.int32))
-            cols_lo.append(e[0]); cols_hi.append(e[1])
-            cols_lo.append(isf.astype(jnp.uint32)); cols_hi.append(zero_hi)
-            cols_lo.append(isl.astype(jnp.uint32)); cols_hi.append(zero_hi)
-
-            per_tape = {k: [] for k in
-                        ("mv", "wflag", "wsym", "head", "winlen", "in_off", "out_off")}
-            for r in range(tau):
-                head_rel_r = (
-                    g[r] - anchor[r, bo] + in_off[r, bo].astype(jnp.int32)
-                )
-                per_tape["mv"].append(from_i64_small(tmv[r]))
-                per_tape["wflag"].append((wfl[r].astype(jnp.uint32), zero_hi))
-                per_tape["wsym"].append((wsy[r].astype(jnp.uint32), zero_hi))
-                per_tape["head"].append(from_i64_small(head_rel_r))
-                per_tape["winlen"].append((win_len[r, bo], zero_hi))
-                per_tape["in_off"].append((in_off[r, bo], zero_hi))
-                per_tape["out_off"].append((out_off[r, bo], zero_hi))
-            for name in ("mv", "wflag", "wsym", "head", "winlen", "in_off", "out_off"):
-                for r in range(tau):
-                    cols_lo.append(per_tape[name][r][0])
-                    cols_hi.append(per_tape[name][r][1])
-            return jnp.stack(cols_lo), jnp.stack(cols_hi)
+            return derive_cols_core(
+                imv, tmv, wfl, wsy, bo, isf, isl,
+                win_len, in_off, out_off, anchor, carry[:, ci],
+            )
 
         return jax.vmap(one)(starts)
 

@@ -436,3 +436,25 @@ def test_multiprocess_sharded_prove(tmp_path):
         assert r["proof_sha256"] == seq_digest, (
             "cross-process sharded proof bytes != sequential proof bytes"
         )
+
+
+@needs_8
+def test_sharded_prove_v1_tops_only_trees(mesh8, monkeypatch):
+    """Tops-only (chunked) tree storage in the sharded prover: force the
+    big-domain threshold down so n=4096 (LDE 2^15) takes the tops path —
+    per-device subtree levels below CHUNK_LOG2 are dropped after the
+    commit phases and every queried in-chunk path is recomputed from
+    gathered leaf values. Proof bytes must equal the single-chip prover's
+    (VERDICT round-2 item 3c: the large-T memory schedule composed with
+    the mesh)."""
+    from test_stark_v1 import MANIFEST, demo_blocks
+
+    from sezkp_tpu.parallel.engine import prove_v1_sharded
+    from sezkp_tpu.stark.v1.proof import encode_proof
+    from sezkp_tpu.stark.v1.prover import prove_v1
+
+    monkeypatch.setenv("SEZKP_SHARDED_TOPS_MIN_LOG2", "15")
+    blocks = demo_blocks(4, 1024, tau=2)
+    host = prove_v1(blocks, MANIFEST)
+    shard = prove_v1_sharded(blocks, MANIFEST, mesh8)
+    assert encode_proof(shard) == encode_proof(host)
