@@ -138,6 +138,47 @@ def main() -> None:
     except Exception as e:  # never break the driver contract
         extra["prove_bench_error"] = repr(e)[:200]
 
+    # measured per-collective ICI byte counts of the sharded prover's
+    # compiled SPMD programs (virtual 8-device CPU mesh; SCALING.md)
+    try:
+        import json as _json
+        import subprocess
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".json") as tf:
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = (
+                env.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=8"
+            ).strip()
+            subprocess.run(
+                [sys.executable, "scripts/sharded_traffic.py", "--json", tf.name],
+                env=env, timeout=560, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            with open(tf.name) as fh:
+                tr = _json.load(fh)
+        extra["sharded_traffic"] = {
+            "measured_link_bytes_per_device_small": round(
+                tr["measured_small"]["total_link_bytes"]
+            ),
+            "analytic_link_bytes_per_device_small": round(
+                tr["analytic_small"]["total_per_device"]
+            ),
+            "predicted_eff_serial_T2pow23_D8": round(
+                [
+                    r["efficiency_serial"]
+                    for r in tr["predictions"]
+                    if r["base_log2"] == 23 and r["d"] == 8
+                ][0],
+                4,
+            ),
+        }
+    except Exception as e:
+        extra["sharded_traffic_error"] = repr(e)[:200]
+
     print(
         json.dumps(
             {
