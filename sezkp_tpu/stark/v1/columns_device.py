@@ -157,6 +157,11 @@ def _jit_columns(n: int, tau: int, nb: int):
 # Granularity of the precomputed cumsum carries: derive_ranges() starts must
 # be multiples of this (== params.COL_CHUNK_LOG2, the opening chunk size).
 CARRY_GRAN_LOG2 = 10
+from . import params as _params  # noqa: E402
+
+assert CARRY_GRAN_LOG2 == _params.COL_CHUNK_LOG2, (
+    "carry granularity must match the opening chunk size"
+)
 
 
 def derive_cols_core(imv, tmv, wfl, wsy, bo, isf, isl,
@@ -323,20 +328,32 @@ class DeviceColumns:
     def derive_ranges(self, starts, length: int):
         """Derive [S, C, length] column limb planes for `starts` (each a
         multiple of 2^CARRY_GRAN_LOG2) without materializing the full
-        planes. Returns device (lo, hi)."""
+        planes. Returns device (lo, hi).
+
+        The request count is padded to a power-of-two bucket so the jit
+        cache is not keyed on the Fiat-Shamir-dependent distinct-chunk
+        count (ADVICE r2); outputs are sliced back to S."""
         import jax.numpy as jnp
 
+        assert length >= (1 << CARRY_GRAN_LOG2), (
+            "range length below the carry granularity"
+        )
         starts = np.asarray(starts, dtype=np.int32)
         assert np.all(starts % (1 << CARRY_GRAN_LOG2) == 0)
         assert np.all(starts + length <= self.n)
+        s_n = len(starts)
+        bucket = max(8, 1 << (s_n - 1).bit_length())
+        padded = np.zeros(bucket, dtype=np.int32)
+        padded[:s_n] = starts
         (input_mv, tape_mv, wflag, wsym, block_of, _block_start, is_first,
          is_last, win_len, in_off, out_off) = self._args
-        f = _jit_derive_ranges(length, self.tau, self._nb, len(starts))
-        return f(
-            jnp.asarray(starts), input_mv, tape_mv, wflag, wsym, block_of,
+        f = _jit_derive_ranges(length, self.tau, self._nb, bucket)
+        lo, hi = f(
+            jnp.asarray(padded), input_mv, tape_mv, wflag, wsym, block_of,
             is_first, is_last, win_len, in_off, out_off,
             self._anchor, self._carry,
         )
+        return lo[:s_n], hi[:s_n]
 
     def to_host(self) -> np.ndarray:
         """u64 [C, n] (for parity tests)."""

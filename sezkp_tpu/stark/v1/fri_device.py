@@ -160,35 +160,38 @@ def _jit_fold_commit_big(m_log2: int, seg_log2: int):
 
 
 @lru_cache(maxsize=8)
-def _jit_fri_chunk_paths(bucket: int):
-    """Recompute `bucket` queried chunks' trees from a layer's value planes;
-    per request returns (in-chunk sibling path [CHUNK_LOG2, 8], value limbs).
-    FRI leaves hash with an empty prefix (merkle.rs:132-138)."""
+def _jit_fri_chunk_paths(chunk_bucket: int, req_bucket: int):
+    """Recompute `chunk_bucket` DISTINCT queried chunks' trees from a
+    layer's value planes, then answer `req_bucket` path requests against
+    them; per request returns (in-chunk sibling path [CHUNK_LOG2, 8],
+    value limbs). Each distinct chunk is gathered and hashed exactly once
+    even when several queries land in it (ADVICE r2). FRI leaves hash
+    with an empty prefix (merkle.rs:132-138)."""
     import jax
 
     from ...ops import blake3_jax as BJ
 
     chunk = 1 << CHUNK_LOG2
 
-    def f(lo, hi, starts, idxs):
+    def f(lo, hi, starts, req_chunk, idxs):
         jnp = _jnp()
         offs = starts[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :]
-        slo = lo[offs.reshape(-1)].reshape(bucket, chunk)
-        shi = hi[offs.reshape(-1)].reshape(bucket, chunk)
+        slo = lo[offs.reshape(-1)].reshape(chunk_bucket, chunk)
+        shi = hi[offs.reshape(-1)].reshape(chunk_bucket, chunk)
         pref = jnp.asarray(BJ._prefix_words(b""))
         cur = jax.vmap(lambda l, h: BJ.hash_leaves_u64_words(l, h, pref, 0))(
             slo, shi
-        )  # [bucket, chunk, 8]
-        vlo = jnp.take_along_axis(slo, idxs[:, None].astype(jnp.int32), axis=1)[:, 0]
-        vhi = jnp.take_along_axis(shi, idxs[:, None].astype(jnp.int32), axis=1)[:, 0]
-        cur_idx = idxs.astype(jnp.int32)
+        )  # [chunk_bucket, chunk, 8]
+        rc = req_chunk.astype(jnp.int32)
+        ix = idxs.astype(jnp.int32)
+        vlo = slo[rc, ix]
+        vhi = shi[rc, ix]
+        cur_idx = ix
         paths = []
         m = chunk
         while m > 1:
             sib = cur_idx ^ 1
-            paths.append(
-                jnp.take_along_axis(cur, sib[:, None, None], axis=1)[:, 0, :]
-            )
+            paths.append(cur[rc, sib, :])  # [req_bucket, 8]
             cur = jax.vmap(BJ.parent_level)(cur)
             cur_idx = cur_idx >> 1
             m >>= 1
@@ -274,7 +277,10 @@ class DeviceFri:
             self._lde = (jnp.asarray(p[0]), jnp.asarray(p[1]))
         self.n_log2 = self.n.bit_length() - 1
         assert 1 << self.n_log2 == self.n
-        self._big = self.n_log2 >= _big_threshold_log2()
+        # guard: the smallest device layer (MIN_DEVICE_LAYER_LOG2) must be
+        # at least one full chunk, or _level_c_nodes degenerates and the
+        # chunk-path gathers clamp out of bounds (ADVICE r2)
+        self._big = self.n_log2 >= max(_big_threshold_log2(), CHUNK_LOG2 + 1)
         self._big_vals: Dict[int, Tuple] = {}  # layer -> (lo, hi) device planes
         self._tops_dev: Dict[int, object] = {}  # layer -> [8, 2K-1] top planes
         self._tops_host: Dict[int, List[np.ndarray]] = {}  # layer -> per-level [size, 32] u8
@@ -507,18 +513,26 @@ class DeviceFri:
             positions.append(idx)
             plans.append((positions, layer_plan))
 
-        # one batched chunk-recompute program per layer, then ONE pull
+        # one batched chunk-recompute program per layer, then ONE pull;
+        # distinct chunks hashed once, requests answered by index
         calls = {}
         for layer, targets in per_layer.items():
             vals = self._lde if layer == 0 else self._big_vals[layer]
             k = len(targets)
-            bucket = max(8, 1 << (k - 1).bit_length())
-            starts = np.zeros(bucket, dtype=np.int32)
-            idxs = np.zeros(bucket, dtype=np.uint32)
-            starts[:k] = [(t & ~mask) for t in targets]
-            idxs[:k] = [(t & mask) for t in targets]
-            calls[layer] = _jit_fri_chunk_paths(bucket)(
-                vals[0], vals[1], jnp.asarray(starts), jnp.asarray(idxs)
+            chunk_rows: Dict[int, int] = {}
+            req_chunk = np.zeros(max(8, 1 << (k - 1).bit_length()), np.int32)
+            idxs = np.zeros(req_chunk.shape[0], dtype=np.uint32)
+            for i, t in enumerate(targets):
+                c = t & ~mask
+                req_chunk[i] = chunk_rows.setdefault(c, len(chunk_rows))
+                idxs[i] = t & mask
+            nc = len(chunk_rows)
+            cb = max(8, 1 << (nc - 1).bit_length())
+            starts = np.zeros(cb, dtype=np.int32)
+            starts[:nc] = list(chunk_rows)
+            calls[layer] = _jit_fri_chunk_paths(cb, req_chunk.shape[0])(
+                vals[0], vals[1], jnp.asarray(starts),
+                jnp.asarray(req_chunk), jnp.asarray(idxs)
             )
         got = jax.device_get(calls)
         paths8: Dict[int, np.ndarray] = {}

@@ -114,6 +114,20 @@ def _deep_lde(base_vals: np.ndarray, blow_log2: int, shift: int, z: int) -> np.n
     return G.mul(y, G.inv_array(denom))
 
 
+def _release_planes_if_large(dc, n_cols: int, n: int) -> None:
+    """Drop the [C, n] device column planes when they exceed the budget
+    (SEZKP_RELEASE_PLANES_BYTES, default 2 GiB) — shared by the pre-LDE and
+    post-openings release sites so the threshold cannot drift."""
+    import os
+
+    if dc is None or not dc.planes_resident:
+        return
+    if 2 * 4 * n_cols * n >= int(
+        os.environ.get("SEZKP_RELEASE_PLANES_BYTES", 2 << 30)
+    ):
+        dc.release_planes()
+
+
 def prove_v1(
     blocks: Sequence[BlockSummary],
     manifest_root: bytes,
@@ -192,12 +206,7 @@ def prove_v1(
         # At T >= ~2^22 the [C, n] column planes (~8 GB at 2^24, tau=8)
         # cannot stay resident through the LDE/FRI transients; drop them now
         # and let the openings phase re-derive from the raw device inputs.
-        n_cols = len(engine.labels)
-        plane_bytes = 2 * 4 * n_cols * n
-        if plane_bytes >= int(
-            os.environ.get("SEZKP_RELEASE_PLANES_BYTES", 2 << 30)
-        ):
-            dc.release_planes()
+        _release_planes_if_large(dc, len(engine.labels), n)
         lde_planes = ntt_pallas.deep_coset_lde_planes(base_planes, blow_log2, shift, z)
         fri_eng = DeviceFri(planes=lde_planes)
     else:
@@ -260,13 +269,9 @@ def prove_v1(
             )
         )
 
-    if device_pipeline and dc is not None and dc._lo is not None:
-        import os as _os
-
-        if 2 * 4 * len(engine.labels) * n >= int(
-            _os.environ.get("SEZKP_RELEASE_PLANES_BYTES", 2 << 30)
-        ):
-            dc.release_planes()  # AIR openings done; free before FRI gathers
+    if device_pipeline:
+        # AIR openings done; free the planes before the FRI gathers
+        _release_planes_if_large(dc, len(engine.labels), n)
 
     # ---- FRI queries ----
     fri_rows = params.derive_queries(tr, lde_n, params.NUM_QUERIES)

@@ -16,7 +16,6 @@ from sezkp_tpu.ops import ntt_jax as NJ
 from sezkp_tpu.parallel.commit_sharded import sharded_merkle_root_u64
 from sezkp_tpu.parallel.mesh import make_mesh
 from sezkp_tpu.parallel.ntt_sharded import sharded_ntt_u64
-from sezkp_tpu.parallel.prove_step import build_prove_step
 
 needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 
@@ -53,79 +52,6 @@ def test_sharded_merkle_root_bit_exact(mesh8):
     got = sharded_merkle_root_u64(vals, mesh8)
     want = B3.merkle_root_leaves(B3.hash_many(G.to_le_bytes(vals)))
     assert got == want
-
-
-@pytest.mark.slow
-@needs_8
-def test_sharded_prove_step_lde_bit_exact(mesh8):
-    """The distributed DEEP-LDE inside the sharded prove step must equal the
-    single-chip fused kernel."""
-    base_log2 = 6
-    n = 1 << base_log2
-    rng = np.random.default_rng(1)
-    base_vals = rng.integers(0, int(G.P), n, dtype=np.uint64)
-    col_vals = rng.integers(0, int(G.P), n, dtype=np.uint64)
-    z = 987654321
-    beta = 55555
-
-    f = build_prove_step(mesh8, base_log2)
-    col = FJ.pack(col_vals.reshape(1, n))
-    base = FJ.pack(base_vals)
-    b1 = base_log2 // 2
-    zp = FJ.pack(np.uint64(z))
-    bp = FJ.pack(np.uint64(beta))
-    from sezkp_tpu.ops.blake3_jax import _prefix_words
-    import struct as _struct
-    prefix = b"col_leaf" + _struct.pack("<I", 4) + b"mv_0"
-    prefs = jnp.asarray(np.stack([_prefix_words(prefix)]))
-    col_roots, (ylo, yhi), folded, fri_roots = f(
-        col[0],
-        col[1],
-        prefs,
-        base[0].reshape(1 << b1, -1),
-        base[1].reshape(1 << b1, -1),
-        zp[0],
-        zp[1],
-        bp[0],
-        bp[1],
-    )
-    # y[k1, k2] with k = k1 + ln1*k2 -> natural order via transpose
-    y = FJ.unpack((ylo, yhi))
-    got = np.ascontiguousarray(y.T).reshape(-1)
-    want = NJ.deep_coset_lde_u64(base_vals, 3, 3, z)
-    assert np.array_equal(got, want)
-
-    # first FRI fold parity
-    half = want.shape[0] // 2
-    fold_want = G.add(want[:half], G.mul(np.uint64(beta), want[half:]))
-    fold_got = FJ.unpack((folded[0], folded[1]))
-    fold_nat = np.ascontiguousarray(fold_got.T).reshape(-1)
-    assert np.array_equal(fold_nat[:half], fold_want)
-
-
-@pytest.mark.slow
-@needs_8
-@pytest.mark.parametrize("nd", [2, 4, 8])
-def test_prove_step_compiles_at_mesh_sizes(nd):
-    mesh = make_mesh(nd)
-    f = build_prove_step(mesh, 6)
-    rng = np.random.default_rng(0)
-    n = 64
-    col = FJ.pack(rng.integers(0, int(G.P), n, dtype=np.uint64))
-    base = FJ.pack(rng.integers(0, int(G.P), n, dtype=np.uint64))
-    zp = FJ.pack(np.uint64(7))
-    bp = FJ.pack(np.uint64(9))
-    from sezkp_tpu.ops.blake3_jax import _prefix_words
-    import struct as _struct
-    prefix = b"col_leaf" + _struct.pack("<I", 4) + b"mv_0"
-    prefs = jnp.asarray(np.stack([_prefix_words(prefix)] * 3))
-    colp = FJ.pack(np.stack([rng.integers(0, int(G.P), n, dtype=np.uint64) for _ in range(3)]))
-    out = f(
-        colp[0], colp[1], prefs, base[0].reshape(8, 8), base[1].reshape(8, 8),
-        zp[0], zp[1], bp[0], bp[1],
-    )
-    jax.block_until_ready(out)
-    assert out[0].shape == (nd, 3, 8)
 
 
 def test_sharded_ingest_matches_sequential(tmp_path):
