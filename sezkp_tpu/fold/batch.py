@@ -18,6 +18,7 @@ import numpy as np
 
 from ..commit.merkle import leaf_hashes_batch
 from ..crypto import blake3
+from .devhash import hash_many_auto
 from ..crypto.transcript import TRANSCRIPT_PREFIX
 from ..stark.v1.columns import IFACE_WINDOW_STEPS
 from .api import Commitment, DriverOptions
@@ -88,7 +89,7 @@ class _StreamTemplate:
 
 def _mac_batch(template: _StreamTemplate, k: int, slots) -> np.ndarray:
     """[k, 32] MACs (challenge 32 bytes == first 32 XOF bytes == digest)."""
-    return blake3.hash_many(template.render(k, slots))
+    return hash_many_auto(template.render(k, slots))
 
 
 # ----------------------------- leaf batch -----------------------------------
@@ -161,7 +162,7 @@ def _boundary_digests_batch(
             ],
             axis=1,
         )
-        out[ia] = blake3.hash_many(mat)
+        out[ia] = hash_many_auto(mat)
     return out
 
 
@@ -198,7 +199,7 @@ def batch_leaf_proofs(blocks: Sequence, lv: "_LogView | None" = None):
         ],
         axis=1,
     )
-    inner_macs = blake3.hash_many(inner_msgs)
+    inner_macs = hash_many_auto(inner_msgs)
 
     # commitments
     c_roots = leaf_hashes_batch(blocks)  # [k, 32]
@@ -219,7 +220,7 @@ def batch_leaf_proofs(blocks: Sequence, lv: "_LogView | None" = None):
         ],
         axis=1,
     )
-    pi_cmts = blake3.hash_many(pi_msgs)
+    pi_cmts = hash_many_auto(pi_msgs)
 
     # outer MAC transcript (DS fold/leaf)
     t = _StreamTemplate("fold/leaf")
@@ -294,7 +295,7 @@ def _iface_digests_batch(
             ],
             axis=1,
         )
-        out[ia] = blake3.hash_many(mat)
+        out[ia] = hash_many_auto(mat)
     return out
 
 
@@ -309,7 +310,7 @@ def _pi_commit_batch(ctrl_in, ctrl_out, flags, acc) -> np.ndarray:
     ctrls[:, 4:8] = ctrl_out.astype("<u4").view(np.uint8).reshape(k, 4)
     ctrls[:, 8:12] = flags.astype("<u4").view(np.uint8).reshape(k, 4)
     accb = np.ascontiguousarray(acc, dtype="<u8").view(np.uint8).reshape(k, 32)
-    return blake3.hash_many(np.concatenate([ds, ctrls, accb], axis=1))
+    return hash_many_auto(np.concatenate([ds, ctrls, accb], axis=1))
 
 
 def _post_order_merges(t: int) -> List[Tuple[int, int, int]]:
@@ -411,7 +412,7 @@ def run_pipeline_batched(blocks, opts: DriverOptions):
             ],
             axis=1,
         )
-        are_macs = blake3.hash_many(are_msgs)
+        are_macs = hash_many_auto(are_msgs)
 
         # pi commitments for left/right/parent
         l_pc = _pi_commit_batch(

@@ -40,6 +40,7 @@ def _batch_verify_leaves(
     """Batched equivalent of CryptoLeaf.verify_leaf over all items."""
     from ..crypto import blake3
     from .batch import _StreamTemplate, _mac_batch, _pi_commit_batch
+    from .devhash import hash_many_auto
 
     k = len(items)
     if k == 0:
@@ -80,7 +81,7 @@ def _batch_verify_leaves(
         ],
         axis=1,
     )
-    if not np.array_equal(blake3.hash_many(inner_msgs), inner):
+    if not np.array_equal(hash_many_auto(inner_msgs), inner):
         raise ValueError("leaf proof failed")
 
     # (3) outer transcript MAC
@@ -114,6 +115,7 @@ def _batch_verify_folds(items) -> None:
     items: [(parent(c,pc), left(c,pc), right(c,pc), CryptoFoldProof)]."""
     from ..crypto import blake3
     from .batch import _StreamTemplate, _mac_batch
+    from .devhash import hash_many_auto
 
     k = len(items)
     if k == 0:

@@ -821,3 +821,78 @@ def chunk_paths_from_ranges(
         return paths8, roots8, vlo_np[:k], vhi_np[:k]
 
     return out, finish
+
+
+def hash_many_words_staged(m16, msg_len: int):
+    """Staged (fori_loop) single-chunk multi-block hash: uint32
+    [nblocks*16, N] LE words -> [8, N] digest words. Off-TPU fallback for
+    blake3_pallas.hash_many_words; bit-identical."""
+    nblocks = max(1, -(-msg_len // 64))
+    last_len = msg_len - 64 * (nblocks - 1)
+    n = m16.shape[1]
+    perm = jnp.asarray(MSG_PERM)
+    cv = jnp.broadcast_to(jnp.asarray(IV, U32)[:, None], (8, n))
+    for b in range(nblocks):
+        flags = 0
+        if b == 0:
+            flags |= int(CHUNK_START)
+        if b == nblocks - 1:
+            flags |= int(CHUNK_END) | int(ROOT)
+        blen = 64 if b < nblocks - 1 else last_len
+        tail = jnp.stack(
+            [
+                jnp.broadcast_to(jnp.asarray(IV[0], U32), (n,)),
+                jnp.broadcast_to(jnp.asarray(IV[1], U32), (n,)),
+                jnp.broadcast_to(jnp.asarray(IV[2], U32), (n,)),
+                jnp.broadcast_to(jnp.asarray(IV[3], U32), (n,)),
+                jnp.zeros(n, U32),
+                jnp.zeros(n, U32),
+                jnp.full(n, np.uint32(blen), U32),
+                jnp.full(n, np.uint32(flags), U32),
+            ]
+        )
+        v0 = jnp.concatenate([cv, tail], axis=0)
+
+        def body(_r, carry):
+            v, msg = carry
+            return _round(v, msg), msg[perm]
+
+        v, _ = jax.lax.fori_loop(
+            0, 7, body, (v0, m16[b * 16 : (b + 1) * 16].astype(U32))
+        )
+        cv = v[:8] ^ v[8:16]
+    return cv
+
+
+@lru_cache(maxsize=16)
+def _jit_hash_many(msg_len: int):
+    from . import blake3_pallas
+
+    return jax.jit(
+        lambda m16: blake3_pallas.hash_many_words(m16, msg_len)
+    )
+
+
+def hash_many_device(messages: np.ndarray) -> np.ndarray:
+    """Device analogue of crypto.blake3.hash_many for single-chunk message
+    batches: uint8 [N, L] (L <= 1024) -> uint8 [N, 32]. One fused Pallas
+    chain kernel on TPU; staged XLA path elsewhere. Bit-identical to the
+    host implementation (cross-tested)."""
+    msgs = np.ascontiguousarray(messages, dtype=np.uint8)
+    n, L = msgs.shape
+    assert 0 < L <= 1024, "single-chunk messages only"
+    nblocks = max(1, -(-L // 64))
+    # pad the batch to a power-of-two bucket so the jit cache is keyed on
+    # (msg_len, bucket) rather than every distinct batch size
+    n_pad = max(8, 1 << (n - 1).bit_length())
+    padded = np.zeros((n_pad, nblocks * 64), dtype=np.uint8)
+    padded[:n, :L] = msgs
+    m16 = jnp.asarray(
+        np.ascontiguousarray(padded.view("<u4").T)  # [nblocks*16, N]
+    )
+    out = np.asarray(jax.device_get(_jit_hash_many(L)(m16)))  # [8, n_pad]
+    return (
+        np.ascontiguousarray(out.T.astype("<u4"))
+        .view(np.uint8)
+        .reshape(n_pad, 32)[:n]
+    )

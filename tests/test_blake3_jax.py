@@ -74,3 +74,18 @@ def test_pallas_compress_matches_xla(n, blen, out_words):
         BP.compress_rows(jnp.asarray(m), blen, flags, out_words, interpret=interp or None)
     )
     assert np.array_equal(a, b)
+
+
+def test_hash_many_device_matches_host():
+    """The chained multi-block device hasher (ops/blake3_pallas
+    hash_many_words via blake3_jax.hash_many_device) is bit-identical to
+    the host hash_many across message lengths spanning 1..16 blocks."""
+    import numpy as np
+
+    from sezkp_tpu.crypto import blake3
+    from sezkp_tpu.ops import blake3_jax as BJ
+
+    rng = np.random.default_rng(5)
+    for L in (1, 63, 64, 65, 129, 320, 1024):
+        msgs = rng.integers(0, 256, (29, L), dtype=np.uint8)
+        assert np.array_equal(BJ.hash_many_device(msgs), blake3.hash_many(msgs))
