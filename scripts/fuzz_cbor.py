@@ -201,7 +201,153 @@ def run(iterations: int = 20000, seed: int = 0) -> dict:
     return stats
 
 
+
+
+# ---------------------------------------------------------------------------
+# coverage-guided mode (VERDICT round-2 item 9)
+#
+# atheris/libfuzzer are not in this image; this is a self-contained greybox
+# loop: line coverage of the pure-Python oracle decoder via sys.monitoring
+# (PEP 669), a corpus seeded with the golden artifacts + structured
+# encodings, and havoc mutations (flips/inserts/deletes/splices/interesting
+# bytes). A location already covered globally disables its own event, so
+# instrumentation cost decays toward zero as coverage saturates — the same
+# scheme libfuzzer uses. New-coverage inputs join the corpus (persisted to
+# tests/corpus_cbor/ when --corpus-dir is given).
+# ---------------------------------------------------------------------------
+
+_TOOL_ID = 3  # sys.monitoring tool slot (0-5 free for scripts)
+
+_INTERESTING = [
+    b"\x00", b"\x17", b"\x18", b"\x19", b"\x1a", b"\x1b", b"\x1f",
+    b"\x40", b"\x5f", b"\x60", b"\x7f", b"\x80", b"\x9f", b"\xa0",
+    b"\xbf", b"\xc0", b"\xd8", b"\xe0", b"\xf4", b"\xf5", b"\xf6",
+    b"\xf7", b"\xf9", b"\xfa", b"\xfb", b"\xff",
+]
+
+
+class _LineCov:
+    """Per-run new-line detection over one module via sys.monitoring."""
+
+    def __init__(self, filename: str):
+        import sys as _s
+
+        self.mon = _s.monitoring
+        self.filename = filename
+        self.seen: set = set()
+        self.run_new = 0
+        self.mon.use_tool_id(_TOOL_ID, "fuzz-cov")
+        self.mon.set_events(_TOOL_ID, self.mon.events.LINE)
+        self.mon.register_callback(
+            _TOOL_ID, self.mon.events.LINE, self._on_line
+        )
+
+    def _on_line(self, code, line):
+        if code.co_filename != self.filename:
+            return self.mon.DISABLE
+        key = (code.co_qualname, line)
+        if key in self.seen:
+            return self.mon.DISABLE
+        self.seen.add(key)
+        self.run_new += 1
+        return None
+
+    def begin(self):
+        self.run_new = 0
+
+    def close(self):
+        self.mon.set_events(_TOOL_ID, 0)
+        self.mon.free_tool_id(_TOOL_ID)
+
+
+def _mutate(rng: random.Random, base: bytearray, corpus) -> bytes:
+    out = bytearray(base)
+    for _ in range(rng.randrange(1, 6)):
+        op = rng.random()
+        if not out:
+            out += rng.randbytes(rng.randrange(1, 8))
+            continue
+        if op < 0.35:
+            out[rng.randrange(len(out))] ^= 1 << rng.randrange(8)
+        elif op < 0.55:
+            out[rng.randrange(len(out)) : rng.randrange(len(out)) + 1] = (
+                rng.choice(_INTERESTING)
+            )
+        elif op < 0.7:
+            out.insert(rng.randrange(len(out) + 1), rng.randrange(256))
+        elif op < 0.85:
+            del out[rng.randrange(len(out))]
+        else:  # splice with another corpus entry
+            other = rng.choice(corpus)
+            if other:
+                a = rng.randrange(len(out) + 1)
+                b = rng.randrange(len(other) + 1)
+                out = bytearray(out[:a]) + bytearray(other[b:])
+    return bytes(out[:4096])
+
+
+def run_coverage_guided(iterations: int = 200000, seed: int = 0,
+                        corpus_dir: str | None = None) -> dict:
+    import hashlib
+
+    native = cbor._native
+    assert native is not None, "native CBOR extension failed to build/load"
+    rng = random.Random(seed)
+    stats = {"both_ok": 0, "both_reject": 0, "unsupported": 0}
+
+    cov = _LineCov(cbor.__file__)
+    corpus: list = []
+
+    def try_input(data: bytes) -> None:
+        cov.begin()
+        check_agreement(native, data, stats)
+        if cov.run_new:
+            corpus.append(data)
+            if corpus_dir:
+                h = hashlib.sha256(data).hexdigest()[:16]
+                with open(os.path.join(corpus_dir, h), "wb") as f:
+                    f.write(data)
+
+    try:
+        if corpus_dir:
+            os.makedirs(corpus_dir, exist_ok=True)
+            for name in sorted(os.listdir(corpus_dir)):
+                with open(os.path.join(corpus_dir, name), "rb") as f:
+                    try_input(f.read())
+        for s in corpus_seeds():
+            try_input(s[:4096])
+        for _ in range(100):
+            out = bytearray()
+            cbor.encode_into(out, random_value(rng))
+            try_input(bytes(out))
+        if not corpus:
+            corpus.append(b"\x00")
+
+        for i in range(iterations):
+            base = bytearray(rng.choice(corpus))
+            if len(base) > 1024:
+                off = rng.randrange(0, len(base) - 512)
+                base = base[off : off + rng.randrange(32, 512)]
+            try_input(_mutate(rng, base, corpus))
+    finally:
+        cov.close()
+
+    stats["execs"] = iterations
+    stats["corpus"] = len(corpus)
+    stats["lines_covered"] = len(cov.seen)
+    return stats
+
+
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
-    s = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    print(run(n, s))
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("iterations", nargs="?", type=int, default=20000)
+    ap.add_argument("seed", nargs="?", type=int, default=0)
+    ap.add_argument("--coverage-guided", action="store_true")
+    ap.add_argument("--corpus-dir", default=None)
+    a = ap.parse_args()
+    if a.coverage_guided:
+        print(run_coverage_guided(a.iterations, a.seed, a.corpus_dir))
+    else:
+        print(run(a.iterations, a.seed))

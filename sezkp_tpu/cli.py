@@ -44,11 +44,20 @@ def cmd_simulate(args) -> int:
         log.error("number of blocks b (%d) cannot exceed trace length T (%d)", args.b, args.t)
         return 1
     log.info("generating synthetic trace t=%d tau=%d", args.t, args.tau)
+    ext = args.out_blocks.rsplit(".", 1)[-1].lower()
     with span("simulate", t=args.t, b=args.b, tau=args.tau):
-        trace = generate_trace(args.t, args.tau)
-        blocks = partition_trace(trace, args.b)
-        core_io.write_block_summaries_auto(args.out_blocks, blocks)
-    print(f"Simulated {args.t} steps -> {len(blocks)} blocks -> {args.out_blocks}")
+        if ext in ("cbor", "jsonl", "ndjson"):
+            # streaming: generate + partition + write in bounded chunks
+            # (RSS stays ~chunk-size; bytes identical to the resident path)
+            from .trace.stream import simulate_stream
+
+            n_blocks = simulate_stream(args.t, args.b, args.tau, args.out_blocks)
+        else:
+            trace = generate_trace(args.t, args.tau)
+            blocks = partition_trace(trace, args.b)
+            core_io.write_block_summaries_auto(args.out_blocks, blocks)
+            n_blocks = len(blocks)
+    print(f"Simulated {args.t} steps -> {n_blocks} blocks -> {args.out_blocks}")
     return 0
 
 

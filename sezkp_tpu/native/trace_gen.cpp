@@ -135,4 +135,42 @@ void sezkp_generate_trace(uint64_t t, uint32_t tau, int8_t *input_mv,
   }
 }
 
+// ---- resumable (streaming) variant -----------------------------------------
+// The generator state (ChaCha12) is a trivially-copyable POD; callers hold
+// an opaque byte buffer of sezkp_trace_state_size() bytes so `simulate` can
+// generate+partition+write the trace in bounded chunks instead of
+// materializing all T steps (reference scripts sweep T to 2^27; a resident
+// trace is 8.6 GB at 2^22 with tau=8).
+
+size_t sezkp_trace_state_size() { return sizeof(ChaCha12); }
+
+void sezkp_trace_state_init(void *state) {
+  ChaCha12 rng;
+  rng.seed_from_u64(42);
+  std::memcpy(state, &rng, sizeof(rng));
+}
+
+void sezkp_generate_trace_chunk(void *state, uint64_t t, uint32_t tau,
+                                int8_t *input_mv, int8_t *tape_mv,
+                                uint8_t *write_flag, uint16_t *write_sym) {
+  ChaCha12 rng;
+  std::memcpy(&rng, state, sizeof(rng));
+  const uint64_t P40 = (uint64_t)(0.4 * 18446744073709551616.0);
+  for (uint64_t i = 0; i < t; ++i) {
+    input_mv[i] = (int8_t)((int32_t)rng.canon_u32(3) - 1);
+    for (uint32_t r = 0; r < tau; ++r) {
+      uint64_t idx = i * tau + r;
+      if (rng.bernoulli(P40)) {
+        write_flag[idx] = 1;
+        write_sym[idx] = (uint16_t)rng.canon_u32(16);
+      } else {
+        write_flag[idx] = 0;
+        write_sym[idx] = 0;
+      }
+      tape_mv[idx] = (int8_t)((int32_t)rng.canon_u32(3) - 1);
+    }
+  }
+  std::memcpy(state, &rng, sizeof(rng));
+}
+
 }  // extern "C"

@@ -12,7 +12,7 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
 )
 
-from fuzz_cbor import run  # noqa: E402
+from fuzz_cbor import run, run_coverage_guided  # noqa: E402
 
 
 @pytest.mark.parametrize("seed", [0, 1])
@@ -22,3 +22,16 @@ def test_cbor_differential_fuzz(seed):
     assert stats["roundtrip"] > 500
     assert stats["both_reject"] > 200
     assert stats["both_ok"] > 200
+
+
+def test_coverage_guided_slice(tmp_path):
+    """Short coverage-guided greybox run (sys.monitoring line coverage of
+    the Python oracle, havoc mutations, corpus growth) — the CI slice of
+    scripts/fuzz_cbor.py --coverage-guided; the committed corpus in
+    tests/corpus_cbor seeds it when present."""
+    corpus = os.path.join(os.path.dirname(__file__), "corpus_cbor")
+    stats = run_coverage_guided(
+        3000, seed=7, corpus_dir=corpus if os.path.isdir(corpus) else None
+    )
+    assert stats["execs"] == 3000
+    assert stats["lines_covered"] > 100  # decoder meaningfully exercised

@@ -88,3 +88,46 @@ def test_native_generator_matches_python():
     a = generate_trace(512, 3)
     b = generate_trace_python(512, 3)
     assert a.steps == b.steps
+
+
+def test_simulate_stream_bytes_identical(tmp_path):
+    """The streaming simulate path (chunked generate + partition + append
+    write, trace/stream.py) produces byte-identical .cbor and .jsonl block
+    files to the materialized path, including chunk boundaries that split
+    the ChaCha12 buffer mid-draw (chunk_steps deliberately tiny)."""
+    from sezkp_tpu.core.io import write_block_summaries_auto
+    from sezkp_tpu.trace.generator import generate_trace
+    from sezkp_tpu.trace.partition import partition_trace
+    from sezkp_tpu.trace.stream import simulate_stream
+
+    t, b, tau = 1000, 16, 3  # non-pow2, partial final block
+    blocks = partition_trace(generate_trace(t, tau), b)
+    for ext in ("cbor", "jsonl"):
+        ref_path = str(tmp_path / f"ref.{ext}")
+        write_block_summaries_auto(ref_path, blocks)
+        got_path = str(tmp_path / f"got.{ext}")
+        n = simulate_stream(t, b, tau, got_path, chunk_steps=48)
+        assert n == len(blocks)
+        assert open(got_path, "rb").read() == open(ref_path, "rb").read()
+
+
+def test_trace_chunk_rng_state_carries():
+    """Chunked generation equals one-shot generation for every chunk size
+    (the resumable native state must round-trip exactly)."""
+    import numpy as np
+
+    from sezkp_tpu.trace.generator import generate_trace
+    from sezkp_tpu.trace.stream import iter_trace_chunks
+
+    t, tau = 513, 2
+    ref = generate_trace(t, tau).steps
+    for chunk in (1, 7, 64, 513, 1000):
+        got = list(iter_trace_chunks(t, tau, chunk))
+        input_mv = np.concatenate([g.input_mv for g in got])
+        tape_mv = np.concatenate([g.tape_mv for g in got])
+        wf = np.concatenate([g.write_flag for g in got])
+        ws = np.concatenate([g.write_sym for g in got])
+        assert np.array_equal(input_mv, ref.input_mv)
+        assert np.array_equal(tape_mv, ref.tape_mv)
+        assert np.array_equal(wf, ref.write_flag)
+        assert np.array_equal(ws, ref.write_sym)
