@@ -467,7 +467,7 @@ def _batched_call(
     return apply
 
 
-def _last_call_t(m2: int, mc_log2: int, cols: int, w, bk2: int = 8):
+def _last_call_t(m2: int, mc_log2: int, cols: int, w, bk2: int = 16):
     """Final DFT phase with a fused natural-order write.
 
     Input (2-D view) [cols, m2*mc] = X[k1, (k2, b3)], gridded over groups
