@@ -467,7 +467,7 @@ def _batched_call(
     return apply
 
 
-def _last_call_t(m2: int, mc_log2: int, cols: int, w, bk2: int = 16):
+def _last_call_t(m2: int, mc_log2: int, cols: int, w, bk2: int | None = None):
     """Final DFT phase with a fused natural-order write.
 
     Input (2-D view) [cols, m2*mc] = X[k1, (k2, b3)], gridded over groups
@@ -480,6 +480,12 @@ def _last_call_t(m2: int, mc_log2: int, cols: int, w, bk2: int = 16):
     lane-tile requirement)."""
     mc = 1 << mc_log2
     interp = _interpret()
+    if bk2 is None:
+        # group size bounded by VMEM: the in/out blocks are
+        # [cols, bk2*mc] / [mc, bk2*cols] u32 pairs and the per-slice
+        # diagonal planes are 15 x [cols, mc] i32 — at m=512 (n=2^27)
+        # bk2=16 exceeds the 128 MB VMEM budget (measured compile OOM)
+        bk2 = min(16, max(1, (1 << 20) // (cols * mc)))
     bk2 = min(bk2, m2)
     grid = m2 // bk2
 

@@ -87,6 +87,46 @@ def _from_i64_small(x32_signed):
     )
 
 
+def _unpack_logs(pk):
+    """Packed u8 movement-log plane -> (tape_mv i8, wflag u8, wsym u16).
+
+    Layout: bits 0-1 = tape_mv + 1, bit 2 = write_flag, bits 3-6 =
+    write_sym. Packing at the host->device boundary quarters the raw-log
+    upload (2+2*tau B/row -> 2+tau B/row at tau=8); the unpack runs once
+    on device and feeds the unchanged traced derivations."""
+    import jax.numpy as jnp
+
+    tmv = ((pk & np.uint8(3)).astype(jnp.int32) - 1).astype(jnp.int8)
+    wfl = (pk >> 2) & np.uint8(1)
+    wsy = ((pk >> 3) & np.uint8(15)).astype(jnp.uint16)
+    return tmv, wfl, wsy
+
+
+def pack_logs(tape_mv_t: np.ndarray, wflag_t: np.ndarray,
+              wsym_t: np.ndarray) -> np.ndarray:
+    """[tau, n] host arrays -> packed u8 [tau, n] (see _unpack_logs)."""
+    return (
+        (tape_mv_t.astype(np.int16) + 1).astype(np.uint8)
+        | (wflag_t.astype(np.uint8) << 2)
+        | (wsym_t.astype(np.uint8) << 3)
+    )
+
+
+@lru_cache(maxsize=8)
+def _jit_columns_packed(n: int, tau: int, nb: int):
+    import jax
+
+    inner = _jit_columns(n, tau, nb)
+
+    def f(input_mv, pk, block_of, block_start, is_first, is_last,
+          win_len, in_off, out_off):
+        tmv, wfl, wsy = _unpack_logs(pk)
+        return inner(input_mv, tmv, wfl, wsy, block_of, block_start,
+                     is_first, is_last, win_len, in_off, out_off)
+
+    return jax.jit(f)
+
+
 @lru_cache(maxsize=8)
 def _jit_columns(n: int, tau: int, nb: int):
     import jax
@@ -215,7 +255,8 @@ def derive_cols_core(imv, tmv, wfl, wsy, bo, isf, isl,
 
 
 @lru_cache(maxsize=8)
-def _jit_derive_ranges(L: int, tau: int, nb: int, n_ranges: int):
+def _jit_derive_ranges(L: int, tau: int, nb: int, n_ranges: int,
+                       packed: bool = False):
     """[S] range starts -> [S, C, L] column limb planes, derived directly
     from the resident raw inputs + precomputed per-block/per-chunk cumsum
     anchors. Bit-identical to slices of the full _jit_columns planes
@@ -237,9 +278,14 @@ def _jit_derive_ranges(L: int, tau: int, nb: int, n_ranges: int):
             imv = jax.lax.dynamic_slice(input_mv, (s,), (L,))
             isf = jax.lax.dynamic_slice(is_first, (s,), (L,))
             isl = jax.lax.dynamic_slice(is_last, (s,), (L,))
-            tmv = jax.lax.dynamic_slice(tape_mv, (0, s), (tau, L))
-            wfl = jax.lax.dynamic_slice(wflag, (0, s), (tau, L))
-            wsy = jax.lax.dynamic_slice(wsym, (0, s), (tau, L))
+            if packed:
+                # tape_mv carries the packed u8 plane; wflag/wsym unused
+                pk = jax.lax.dynamic_slice(tape_mv, (0, s), (tau, L))
+                tmv, wfl, wsy = _unpack_logs(pk)
+            else:
+                tmv = jax.lax.dynamic_slice(tape_mv, (0, s), (tau, L))
+                wfl = jax.lax.dynamic_slice(wflag, (0, s), (tau, L))
+                wsy = jax.lax.dynamic_slice(wsym, (0, s), (tau, L))
             ci = s >> CARRY_GRAN_LOG2
             return derive_cols_core(
                 imv, tmv, wfl, wsy, bo, isf, isl,
@@ -269,11 +315,34 @@ class DeviceColumns:
         self.tau = h["tau"]
         self.labels = all_labels(self.tau)
         self._nb = len(blocks)
+        # pack (tape_mv, write_flag, write_sym) into one u8 plane when the
+        # symbol fits 4 bits (always for the reference generator; larger
+        # alphabets fall back to the unpacked upload) — quarters the
+        # host->device raw-log traffic
+        self._packed = (
+            self.n > 0
+            and int(h["wsym"].max(initial=0)) <= 15
+            and int(h["tape_mv"].min(initial=0)) >= -1
+            and int(h["tape_mv"].max(initial=0)) <= 1
+        )
+        if self._packed:
+            pk = jnp.asarray(
+                np.ascontiguousarray(
+                    pack_logs(
+                        h["tape_mv"].T, h["wflag"].T, h["wsym"].T
+                    )
+                )
+            )
+            log_args = (pk, pk, pk)  # tape/wflag/wsym slots share the plane
+        else:
+            log_args = (
+                jnp.asarray(np.ascontiguousarray(h["tape_mv"].T)),
+                jnp.asarray(np.ascontiguousarray(h["wflag"].astype(np.uint8).T)),
+                jnp.asarray(np.ascontiguousarray(h["wsym"].astype(np.uint16).T)),
+            )
         self._args = (
             jnp.asarray(h["input_mv"]),
-            jnp.asarray(np.ascontiguousarray(h["tape_mv"].T)),
-            jnp.asarray(np.ascontiguousarray(h["wflag"].astype(np.uint8).T)),
-            jnp.asarray(np.ascontiguousarray(h["wsym"].astype(np.uint16).T)),
+            *log_args,
             jnp.asarray(h["block_of"]),
             jnp.asarray(h["block_start"]),
             jnp.asarray(h["is_first"]),
@@ -303,8 +372,13 @@ class DeviceColumns:
 
     def _materialize(self):
         if self._lo is None:
-            f = _jit_columns(self.n, self.tau, self._nb)
-            self._lo, self._hi = f(*self._args)
+            (imv, tmv, wfl, wsy, *rest) = self._args
+            if self._packed:
+                f = _jit_columns_packed(self.n, self.tau, self._nb)
+                self._lo, self._hi = f(imv, tmv, *rest)
+            else:
+                f = _jit_columns(self.n, self.tau, self._nb)
+                self._lo, self._hi = f(*self._args)
 
     @property
     def lo(self):
@@ -347,7 +421,8 @@ class DeviceColumns:
         padded[:s_n] = starts
         (input_mv, tape_mv, wflag, wsym, block_of, _block_start, is_first,
          is_last, win_len, in_off, out_off) = self._args
-        f = _jit_derive_ranges(length, self.tau, self._nb, bucket)
+        f = _jit_derive_ranges(length, self.tau, self._nb, bucket,
+                               packed=self._packed)
         lo, hi = f(
             jnp.asarray(padded), input_mv, tape_mv, wflag, wsym, block_of,
             is_first, is_last, win_len, in_off, out_off,
