@@ -384,3 +384,27 @@ def test_sharded_prove_v1_tops_only_trees(mesh8, monkeypatch):
     host = prove_v1(blocks, MANIFEST)
     shard = prove_v1_sharded(blocks, MANIFEST, mesh8)
     assert encode_proof(shard) == encode_proof(host)
+
+
+@pytest.mark.slow
+@needs_8
+def test_sharded_prove_v1_full_n2_18_tops(mesh8):
+    """Large-domain parity: full sharded prover at n=2^18 (LDE 2^21) on
+    the 8-device mesh — big enough that the tops-only chunked tree mode is
+    active by default (threshold 2^20-point LDE) together with in-kernel
+    column derivation and the all_to_all coefficient relayout. Proof bytes
+    == single-chip (VERDICT round-2 item 3: the north-star memory schedule
+    composed with the mesh, at the largest size the CPU-mesh CI can
+    carry)."""
+    from test_stark_v1 import MANIFEST, demo_blocks
+
+    from sezkp_tpu.parallel.engine import prove_v1_sharded
+    from sezkp_tpu.parallel.prove_sharded import _tops_threshold_log2
+    from sezkp_tpu.stark.v1.proof import encode_proof
+    from sezkp_tpu.stark.v1.prover import prove_v1
+
+    assert _tops_threshold_log2() <= 21
+    blocks = demo_blocks(256, 1024, tau=2)  # n = 262144
+    host = prove_v1(blocks, MANIFEST)
+    shard = prove_v1_sharded(blocks, MANIFEST, mesh8)
+    assert encode_proof(shard) == encode_proof(host)
