@@ -236,10 +236,22 @@ class _LineCov:
         self.filename = filename
         self.seen: set = set()
         self.run_new = 0
-        self.mon.use_tool_id(_TOOL_ID, "fuzz-cov")
-        self.mon.set_events(_TOOL_ID, self.mon.events.LINE)
+        # Claim the first free tool slot: another profiler/coverage tool may
+        # already hold the preferred id, and use_tool_id raises ValueError on
+        # a taken slot (ADVICE r3).
+        self.tool_id = None
+        for tid in (_TOOL_ID, 0, 1, 2, 4, 5):
+            try:
+                self.mon.use_tool_id(tid, "fuzz-cov")
+                self.tool_id = tid
+                break
+            except ValueError:
+                continue
+        if self.tool_id is None:
+            raise RuntimeError("no free sys.monitoring tool slot (0-5)")
+        self.mon.set_events(self.tool_id, self.mon.events.LINE)
         self.mon.register_callback(
-            _TOOL_ID, self.mon.events.LINE, self._on_line
+            self.tool_id, self.mon.events.LINE, self._on_line
         )
 
     def _on_line(self, code, line):
@@ -256,8 +268,8 @@ class _LineCov:
         self.run_new = 0
 
     def close(self):
-        self.mon.set_events(_TOOL_ID, 0)
-        self.mon.free_tool_id(_TOOL_ID)
+        self.mon.set_events(self.tool_id, 0)
+        self.mon.free_tool_id(self.tool_id)
 
 
 def _mutate(rng: random.Random, base: bytearray, corpus) -> bytes:

@@ -87,9 +87,14 @@ class _StreamTemplate:
         return np.concatenate(cols, axis=1)
 
 
-def _mac_batch(template: _StreamTemplate, k: int, slots) -> np.ndarray:
-    """[k, 32] MACs (challenge 32 bytes == first 32 XOF bytes == digest)."""
-    return hash_many_auto(template.render(k, slots))
+def _mac_batch(template: _StreamTemplate, k: int, slots,
+               hash_fn=hash_many_auto) -> np.ndarray:
+    """[k, 32] MACs (challenge 32 bytes == first 32 XOF bytes == digest).
+
+    `hash_fn` lets the verifier pin the host C++ BLAKE3 path regardless of
+    SEZKP_FOLD_DEVICE_HASH_MIN so prover and verifier never share a hash
+    implementation (fold/verify.py module docstring)."""
+    return hash_fn(template.render(k, slots))
 
 
 # ----------------------------- leaf batch -----------------------------------
@@ -299,8 +304,11 @@ def _iface_digests_batch(
     return out
 
 
-def _pi_commit_batch(ctrl_in, ctrl_out, flags, acc) -> np.ndarray:
-    """[k, 32] pi commitments. acc: uint64 [k, 4] canonical."""
+def _pi_commit_batch(ctrl_in, ctrl_out, flags, acc,
+                     hash_fn=hash_many_auto) -> np.ndarray:
+    """[k, 32] pi commitments. acc: uint64 [k, 4] canonical.
+
+    `hash_fn` as in `_mac_batch`: the verifier pins the host path."""
     k = acc.shape[0]
     ds = np.broadcast_to(
         np.frombuffer(b"sezkp-fold/pi-commitment/v1", np.uint8), (k, 27)
@@ -310,7 +318,7 @@ def _pi_commit_batch(ctrl_in, ctrl_out, flags, acc) -> np.ndarray:
     ctrls[:, 4:8] = ctrl_out.astype("<u4").view(np.uint8).reshape(k, 4)
     ctrls[:, 8:12] = flags.astype("<u4").view(np.uint8).reshape(k, 4)
     accb = np.ascontiguousarray(acc, dtype="<u8").view(np.uint8).reshape(k, 32)
-    return hash_many_auto(np.concatenate([ds, ctrls, accb], axis=1))
+    return hash_fn(np.concatenate([ds, ctrls, accb], axis=1))
 
 
 def _post_order_merges(t: int) -> List[Tuple[int, int, int]]:

@@ -6,6 +6,12 @@ so the streaming verifier buffers items per kind (up to VERIFY_CHUNK) and
 recomputes whole batches with one `hash_many` call — same accept/reject
 decisions, ~an order of magnitude faster wall-clock (the round-1 verifier
 was slower than the level-batched prover, VERDICT weak #8).
+
+Implementation diversity (ADVICE r3): verification always recomputes MACs
+through the HOST C++ BLAKE3 (`crypto.blake3.hash_many`), never the device
+Pallas kernel, even when SEZKP_FOLD_DEVICE_HASH_MIN routes the *prover*
+to the device — so a device-kernel defect can never self-consistently
+accept its own proofs.
 """
 
 from __future__ import annotations
@@ -40,7 +46,6 @@ def _batch_verify_leaves(
     """Batched equivalent of CryptoLeaf.verify_leaf over all items."""
     from ..crypto import blake3
     from .batch import _StreamTemplate, _mac_batch, _pi_commit_batch
-    from .devhash import hash_many_auto
 
     k = len(items)
     if k == 0:
@@ -62,7 +67,8 @@ def _batch_verify_leaves(
 
     # (1) commit_pi(pi rebuilt from public) == pi_cmt
     acc_mod = (acc.astype(object) % _P).astype(np.uint64)
-    pc_calc = _pi_commit_batch(ctrl_in, ctrl_out, flags, acc_mod)
+    pc_calc = _pi_commit_batch(ctrl_in, ctrl_out, flags, acc_mod,
+                               hash_fn=blake3.hash_many)
     if not np.array_equal(pc_calc, pc_wire):
         raise ValueError("leaf proof failed")
 
@@ -81,7 +87,7 @@ def _batch_verify_leaves(
         ],
         axis=1,
     )
-    if not np.array_equal(hash_many_auto(inner_msgs), inner):
+    if not np.array_equal(blake3.hash_many(inner_msgs), inner):
         raise ValueError("leaf proof failed")
 
     # (3) outer transcript MAC
@@ -104,6 +110,7 @@ def _batch_verify_leaves(
             "rh": rh,
             "inner": inner,
         },
+        hash_fn=blake3.hash_many,
     )
     if not np.array_equal(macs, macs_wire):
         raise ValueError("leaf proof failed")
@@ -115,7 +122,6 @@ def _batch_verify_folds(items) -> None:
     items: [(parent(c,pc), left(c,pc), right(c,pc), CryptoFoldProof)]."""
     from ..crypto import blake3
     from .batch import _StreamTemplate, _mac_batch
-    from .devhash import hash_many_auto
 
     k = len(items)
     if k == 0:
@@ -173,6 +179,7 @@ def _batch_verify_folds(items) -> None:
             ),
             "are": are_wire,
         },
+        hash_fn=blake3.hash_many,
     )
     if not np.array_equal(macs, _u8([pf.mac for (_p, _l, _r, pf) in items], 32)):
         raise ValueError("fold proof failed")
@@ -180,6 +187,7 @@ def _batch_verify_folds(items) -> None:
 
 def _batch_verify_wraps(items) -> None:
     """Batched equivalent of CryptoWrap.verify_wrap over all items."""
+    from ..crypto import blake3
     from .batch import _StreamTemplate, _mac_batch
 
     k = len(items)
@@ -200,6 +208,7 @@ def _batch_verify_wraps(items) -> None:
             .reshape(k, 8),
             "pc": _u8([pc.digest for ((_c, pc), _wp) in items], 32),
         },
+        hash_fn=blake3.hash_many,
     )
     if not np.array_equal(macs, _u8([wp.mac for (_root, wp) in items], 32)):
         raise ValueError("wrap proof failed")

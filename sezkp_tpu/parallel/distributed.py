@@ -40,6 +40,21 @@ ENV_COORDINATOR = "SEZKP_COORDINATOR"
 ENV_NUM_PROCESSES = "SEZKP_NUM_PROCESSES"
 ENV_PROCESS_ID = "SEZKP_PROCESS_ID"
 
+# Coordination-service timeouts (seconds). jax defaults are 300/100/300,
+# sized for fleets where every process compiles at comparable speed. On an
+# oversubscribed host (N worker processes sharing few cores, cold XLA
+# caches) peer skew through a multi-minute shard_map compile can exceed the
+# 300 s shutdown barrier — the fast process exits, waits at the barrier,
+# and dies with DEADLINE_EXCEEDED while the slow one is still compiling.
+# We default much higher: correctness must not depend on compile-speed
+# symmetry. Overridable per-deployment via env.
+ENV_INIT_TIMEOUT = "SEZKP_DIST_INIT_TIMEOUT_S"
+ENV_HEARTBEAT_TIMEOUT = "SEZKP_DIST_HEARTBEAT_TIMEOUT_S"
+ENV_SHUTDOWN_TIMEOUT = "SEZKP_DIST_SHUTDOWN_TIMEOUT_S"
+DEFAULT_INIT_TIMEOUT_S = 900
+DEFAULT_HEARTBEAT_TIMEOUT_S = 600
+DEFAULT_SHUTDOWN_TIMEOUT_S = 1800
+
 _initialized = False
 
 
@@ -69,13 +84,78 @@ def ensure_initialized(
         return False
     import jax
 
+    # Share one persistent compile cache across all worker processes: they
+    # compile identical shard_map programs, so after the first populate run
+    # every peer loads from disk — which also collapses the compile-skew
+    # window the timeouts above guard against.
+    from ..utils.config import enable_compile_cache
+
+    enable_compile_cache()
+
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
         process_id=process_id,
+        initialization_timeout=int(
+            os.environ.get(ENV_INIT_TIMEOUT, DEFAULT_INIT_TIMEOUT_S)
+        ),
+        heartbeat_timeout_seconds=int(
+            os.environ.get(ENV_HEARTBEAT_TIMEOUT, DEFAULT_HEARTBEAT_TIMEOUT_S)
+        ),
+        shutdown_timeout_seconds=int(
+            os.environ.get(ENV_SHUTDOWN_TIMEOUT, DEFAULT_SHUTDOWN_TIMEOUT_S)
+        ),
     )
     _initialized = True
     return True
+
+
+_barrier_seq = 0
+
+
+def barrier(tag: str, timeout_s: Optional[int] = None) -> None:
+    """Coordination-service barrier across all processes (no-op single-host).
+
+    Unlike the CPU gloo collective rendezvous (hard-coded 30 s GetKeyValue
+    timeout inside XLA), this barrier's timeout is ours to choose. Barrier
+    ids must be unique per use; every process calls in the same program
+    order, so a global sequence number keeps ids aligned."""
+    global _barrier_seq
+    from jax._src import distributed as _jd
+
+    client = _jd.global_state.client
+    if client is None:
+        return
+    if timeout_s is None:
+        timeout_s = int(
+            os.environ.get(ENV_SHUTDOWN_TIMEOUT, DEFAULT_SHUTDOWN_TIMEOUT_S)
+        )
+    _barrier_seq += 1
+    client.wait_at_barrier(f"sezkp/{tag}/{_barrier_seq}", timeout_s * 1000)
+
+
+def sync_execute(jitted, *args, tag: str = "prog"):
+    """Launch a (potentially expensive-to-compile) SPMD program safely
+    across processes: AOT-compile first, barrier, then execute.
+
+    Why: XLA:CPU's gloo collectives create their communicator contexts at
+    FIRST EXECUTION of a program's first collective, with a hard-coded
+    ~30 s key-value rendezvous timeout. A jit call fuses compile+execute,
+    so if peer processes' compiles skew by >30 s (cold caches on an
+    oversubscribed host), the fast process times out inside gloo context
+    init and the job dies (round-3 slow-tier failure signature:
+    `Gloo context initialization failed: DEADLINE_EXCEEDED: GetKeyValue()
+    timed out`). Splitting compile from execute and aligning processes on
+    a coordination-service barrier (whose timeout we control) bounds the
+    execution-point skew to barrier propagation — milliseconds — no matter
+    how asymmetric the compiles were. Single-process: plain call."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return jitted(*args)
+    compiled = jitted.lower(*args).compile()
+    barrier(tag)
+    return compiled(*args)
 
 
 def is_coordinator() -> bool:

@@ -145,7 +145,13 @@ class ShardedColumnEngine:
         d = self.mesh.devices.size
         n = self.tc.n
         n_chunks = n >> self.chunk_log2
-        if self.blocks is not None and (n // d) % (1 << self.chunk_log2) == 0:
+        # Row-wise needs d | n (else per-device row counts diverge inside
+        # shard_map with an opaque error) AND whole chunks per device.
+        if (
+            self.blocks is not None
+            and n % d == 0
+            and (n // d) % (1 << self.chunk_log2) == 0
+        ):
             self._build_rowwise()
             return
         groups: Dict[int, List[str]] = {}
@@ -166,8 +172,13 @@ class ShardedColumnEngine:
             lo = _gin(self.mesh, P(AXIS, None), (v & np.uint64(0xFFFFFFFF)).astype(np.uint32))
             hi = _gin(self.mesh, P(AXIS, None), (v >> np.uint64(32)).astype(np.uint32))
             f = _sharded_group_commit(self.mesh, plen, self.chunk_log2)
+            from .distributed import sync_execute
+
             roots = np.asarray(
-                jax.device_get(f(lo, hi, _gin(self.mesh, P(AXIS, None), prefs)))
+                jax.device_get(sync_execute(
+                    f, lo, hi, _gin(self.mesh, P(AXIS, None), prefs),
+                    tag="group_commit",
+                ))
             )
             for i, lb in enumerate(lbs):
                 croots = (
@@ -202,8 +213,12 @@ class ShardedColumnEngine:
         )
         from .prove_sharded import _gin
 
+        from .distributed import sync_execute
+
         args = raw_shard_args(self.mesh, d, self.blocks)
-        outs = jax.device_get(f(*args, _gin(self.mesh, P(), prefs)))
+        outs = jax.device_get(sync_execute(
+            f, *args, _gin(self.mesh, P(), prefs), tag="rowwise_commit"
+        ))
         for (plen, idxs), roots in zip(groups, outs):
             roots = np.asarray(roots)  # [Cg, n_chunks, 8]
             for i, ci in enumerate(idxs):

@@ -697,9 +697,15 @@ class ShardedFri:
 
         bl = np.array([b & 0xFFFFFFFF for b in betas[:L]], dtype=np.uint32)
         bh = np.array([b >> 32 for b in betas[:L]], dtype=np.uint32)
-        vals_lo, vals_hi, level_bufs, roots_stacked, tail_lo, tail_hi = f(
-            self._lde[0], self._lde[1],
-            _gin(self.mesh, P(), bl), _gin(self.mesh, P(), bh),
+        from .distributed import sync_execute
+
+        vals_lo, vals_hi, level_bufs, roots_stacked, tail_lo, tail_hi = (
+            sync_execute(
+                f,
+                self._lde[0], self._lde[1],
+                _gin(self.mesh, P(), bl), _gin(self.mesh, P(), bh),
+                tag="phase2",
+            )
         )
         self._vals = (vals_lo, vals_hi)
         self._level_bufs = list(level_bufs)
@@ -1042,7 +1048,10 @@ class ShardedPipeline:
             tab_args = jax.tree_util.tree_map(
                 lambda x: make_global(mesh, P(), np.asarray(x)), tab_args
             )
-        lde_lo, lde_hi, tree0, roots0 = f(
+        from .distributed import sync_execute
+
+        lde_lo, lde_hi, tree0, roots0 = sync_execute(
+            f,
             *head_args,
             _gin(mesh, P(), (a & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
             _gin(mesh, P(), (a >> np.uint64(32)).astype(np.uint32)),
@@ -1051,6 +1060,7 @@ class ShardedPipeline:
             _gin(mesh, P(), np.uint32(zp & np.uint64(0xFFFFFFFF))),
             _gin(mesh, P(), np.uint32(zp >> np.uint64(32))),
             tab_args,
+            tag="phase1",
         )
         return ShardedFri(
             self.d, base_log2 + blow_log2, lde_lo, lde_hi, tree0, roots0,

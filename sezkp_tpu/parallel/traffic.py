@@ -47,20 +47,29 @@ def _shape_bytes(shape_str: str) -> int:
     return total
 
 
+_PAIRS_RE = re.compile(r"source_target_pairs=\{((?:\{\d+,\d+\},?)*)\}")
+
+
 def collective_bytes_from_hlo(hlo_text: str, n_devices: int) -> Dict[str, dict]:
     """Tally per-collective-kind op counts and per-device bytes moved.
 
     For each collective op the *output* shape is the per-device payload
     (HLO shapes inside SPMD partitions are already per-device). Bytes sent
     per device: all-to-all and all-gather move (D-1)/D of the payload over
-    the links; collective-permute moves the full payload; all-reduce moves
-    ~2(D-1)/D (ring)."""
+    the links; all-reduce moves ~2(D-1)/D (ring).
+
+    collective-permute is attributed by its actual `source_target_pairs`
+    membership: a device only sends if it appears as a source, so the mean
+    per-device link volume is payload x len(pairs)/D — NOT payload x 1.
+    (The sharded FRI fold's half-shard exchanges permute between disjoint
+    half-mesh source sets; counting full payload on every device
+    double-counted them — SCALING.md's former 'known 2x artifact',
+    VERDICT round-3 item 6.)"""
     out: Dict[str, dict] = {}
     frac = (n_devices - 1) / n_devices
     factor = {
         "all-to-all": frac,
         "all-gather": frac,
-        "collective-permute": 1.0,
         "all-reduce": 2 * frac,
         "reduce-scatter": frac,
     }
@@ -73,21 +82,22 @@ def collective_bytes_from_hlo(hlo_text: str, n_devices: int) -> Dict[str, dict]:
         if op not in _COLLECTIVES:
             continue
         if shape_str.startswith("("):
-            nbytes = sum(
-                _shape_bytes(s.strip())
-                for s in shape_str[1:-1].split(",")
-                if "[" in s
-            )
-            # tuple shapes list dims with commas too; re-parse robustly
+            # tuple shapes list dims with commas too; parse each leaf shape
             nbytes = sum(
                 _shape_bytes(s) for s in re.findall(r"[a-z]+[0-9]*\[[0-9,]*\]", shape_str)
             )
         else:
             nbytes = _shape_bytes(shape_str)
+        if op == "collective-permute":
+            pm = _PAIRS_RE.search(line)
+            n_pairs = len(re.findall(r"\{\d+,\d+\}", pm.group(1))) if pm else n_devices
+            f = n_pairs / n_devices
+        else:
+            f = factor[op]
         rec = out.setdefault(op, {"ops": 0, "payload_bytes": 0, "link_bytes": 0.0})
         rec["ops"] += 1
         rec["payload_bytes"] += nbytes
-        rec["link_bytes"] += nbytes * factor[op]
+        rec["link_bytes"] += nbytes * f
     return out
 
 
@@ -146,23 +156,33 @@ def analytic_phase_bytes(base_log2: int, blow_log2: int, d: int,
 
 def scaling_model(base_log2: int, blow_log2: int, d: int,
                   single_chip_seconds: float,
-                  ici_bytes_per_s: float = 200e9, tau: int = 8) -> dict:
+                  ici_bytes_per_s: float = 200e9, tau: int = 8,
+                  host_seconds: float = 0.0) -> dict:
     """Predicted scaling efficiency 1 -> D chips.
 
-    t_D = t_1/D + traffic_D / ICI_BW (serial, pessimistic) and
-    max(t_1/D, traffic) (overlapped, optimistic); efficiency is
-    t_1 / (D * t_D). v5e ICI: 4 links x 400 Gb/s ~ 200 GB/s per chip
-    usable (public spec)."""
+    t_D = t_1_dev/D + traffic_D / ICI_BW + t_host (serial, pessimistic) and
+    max(t_1_dev/D, traffic) + t_host (overlapped); efficiency is
+    t_1 / (D * t_D) where t_1 = t_1_dev + t_host. v5e ICI: 4 links x
+    400 Gb/s ~ 200 GB/s per chip usable (public spec).
+
+    `host_seconds` is the measured host-serialized transcript time (root
+    pulls, Fiat-Shamir, query planning, proof assembly) — it does NOT
+    shrink with D, so it is the real Amdahl term that bounds efficiency at
+    t_dev/(t_dev + t_host) as D grows (SCALING.md caveat 2, VERDICT
+    round-3 item 6). `single_chip_seconds` here is the DEVICE portion of
+    the single-chip prove (total minus host_seconds)."""
     tr = analytic_phase_bytes(base_log2, blow_log2, d, tau)
     t_ici = tr["total_per_device"] / ici_bytes_per_s
     t_comp = single_chip_seconds / d
-    t_serial = t_comp + t_ici
-    t_overlap = max(t_comp, t_ici)
+    t_serial = t_comp + t_ici + host_seconds
+    t_overlap = max(t_comp, t_ici) + host_seconds
+    t_1 = single_chip_seconds + host_seconds
     return {
         "d": d,
         "traffic_per_device_bytes": tr["total_per_device"],
         "t_compute_s": t_comp,
         "t_ici_s": t_ici,
-        "efficiency_serial": single_chip_seconds / (d * t_serial),
-        "efficiency_overlapped": single_chip_seconds / (d * t_overlap),
+        "t_host_s": host_seconds,
+        "efficiency_serial": t_1 / (d * t_serial),
+        "efficiency_overlapped": t_1 / (d * t_overlap),
     }

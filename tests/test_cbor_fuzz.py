@@ -4,6 +4,7 @@ this pins a deterministic slice of it in CI (reference analogue:
 crates/sezkp-core/fuzz/fuzz_targets/block_decode.rs)."""
 
 import os
+import shutil
 import sys
 
 import pytest
@@ -29,9 +30,14 @@ def test_coverage_guided_slice(tmp_path):
     the Python oracle, havoc mutations, corpus growth) — the CI slice of
     scripts/fuzz_cbor.py --coverage-guided; the committed corpus in
     tests/corpus_cbor seeds it when present."""
-    corpus = os.path.join(os.path.dirname(__file__), "corpus_cbor")
-    stats = run_coverage_guided(
-        3000, seed=7, corpus_dir=corpus if os.path.isdir(corpus) else None
-    )
+    # Seed from the committed corpus but persist any new-coverage inputs to
+    # tmp_path so a test run never dirties the checkout (ADVICE r3).
+    committed = os.path.join(os.path.dirname(__file__), "corpus_cbor")
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    if os.path.isdir(committed):
+        for name in os.listdir(committed):
+            shutil.copy(os.path.join(committed, name), corpus)
+    stats = run_coverage_guided(3000, seed=7, corpus_dir=corpus)
     assert stats["execs"] == 3000
     assert stats["lines_covered"] > 100  # decoder meaningfully exercised

@@ -269,7 +269,7 @@ def test_multiprocess_distributed_commit_and_prove(tmp_path, nproc):
 
     results = []
     for p, out in procs:
-        stdout, _ = p.communicate(timeout=240)
+        stdout, _ = p.communicate(timeout=600)
         assert p.returncode == 0, f"worker failed:\n{stdout.decode()[-2000:]}"
         with open(out) as f:
             results.append(json.load(f))
@@ -350,7 +350,11 @@ def test_multiprocess_sharded_prove(tmp_path):
 
     results = []
     for p, out in procs:
-        stdout, _ = p.communicate(timeout=360)
+        # Generous: on a 2-core box both workers cold-compile the full
+        # sharded-prover program set concurrently; the first populate run
+        # can take several minutes per worker (later runs hit the shared
+        # persistent compile cache enabled by ensure_initialized()).
+        stdout, _ = p.communicate(timeout=840)
         assert p.returncode == 0, f"worker failed:\n{stdout.decode()[-3000:]}"
         with open(out) as f:
             results.append(json.load(f))
