@@ -80,7 +80,11 @@ def main() -> int:
     for t in ts:
         d = os.path.join(args.out_dir, f"t{t}")
         os.makedirs(d, exist_ok=True)
-        blocks = os.path.join(d, "blocks.jsonl")
+        # .cbor: the reference's native block format; the streaming writer's
+        # vectorized encoder and the windowed cbor reader keep both the
+        # simulate and read sides O(window) (jsonl also works but encodes
+        # ~10x slower at the 2^24+ sizes this suite sweeps)
+        blocks = os.path.join(d, "blocks.cbor")
         manifest = os.path.join(d, "manifest.cbor")
         proof = os.path.join(d, "proof.cbor")
 

@@ -88,11 +88,55 @@ def write_block_summaries_jsonl(path: str, blocks: Iterable[BlockSummary]) -> No
             f.write("\n")
 
 
+def stream_block_summaries_cbor(
+    path: str, window_bytes: int = 1 << 23
+) -> Iterator[BlockSummary]:
+    """Stream a definite-length CBOR array of block maps with bounded RSS.
+
+    Keeps a rolling window of at most ~window_bytes + one block in memory:
+    decode one element at a time, and when a block straddles the window's
+    end, drop the consumed prefix and refill from the file. Matches the
+    reference's streaming ethos for its native .cbor block format
+    (crates/sezkp-core reads blocks incrementally on the fold line); the
+    resident reader materialized the whole file, which forced the RSS
+    scaling suite onto JSONL."""
+    with open(path, "rb") as f:
+        buf = bytearray(f.read(window_bytes))
+        dec = cbor.CBORDecoder(bytes(buf))
+        ib = dec._read(1)[0]
+        major, info = ib >> 5, ib & 0x1F
+        if major != 4 or info == 31:
+            raise ValueError("streaming cbor blocks: expected definite array")
+        count = dec._read_uint(info)
+        pos = dec.pos
+        data = bytes(buf)
+        for _ in range(count):
+            while True:
+                d = cbor.CBORDecoder(data, pos)
+                try:
+                    obj = d.decode()
+                    break
+                except ValueError:
+                    more = f.read(window_bytes)
+                    if not more:
+                        raise
+                    data = data[pos:] + more
+                    pos = 0
+            pos = d.pos
+            if pos > window_bytes:
+                # drop the consumed prefix so the window stays bounded
+                data = data[pos:]
+                pos = 0
+            yield BlockSummary.from_obj(obj)
+
+
 def stream_block_summaries_auto(path: str) -> Iterator[BlockSummary]:
     e = _ext(path)
     if e in ("jsonl", "ndjson"):
         return stream_block_summaries_jsonl(path)
-    if e in ("json", "cbor"):
+    if e == "cbor":
+        return stream_block_summaries_cbor(path)
+    if e == "json":
         return iter(read_block_summaries_auto(path))
     raise ValueError(f"unsupported blocks extension: {e}")
 

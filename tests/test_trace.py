@@ -131,3 +131,44 @@ def test_trace_chunk_rng_state_carries():
         assert np.array_equal(tape_mv, ref.tape_mv)
         assert np.array_equal(wf, ref.write_flag)
         assert np.array_equal(ws, ref.write_sym)
+
+
+def test_simulate_stream_fast_and_fallback_encoders(tmp_path):
+    """The vectorized fixed-width CBOR log encoder (stream._encode_log_rows)
+    and the generic fallback must both be byte-identical to the resident
+    writer. tau=24 exceeds the 1-byte array-head range the fast path
+    requires, forcing the fallback; tau=8 takes the fast path."""
+    from sezkp_tpu.core.io import write_block_summaries_auto
+    from sezkp_tpu.trace.generator import generate_trace
+    from sezkp_tpu.trace.partition import partition_trace
+    from sezkp_tpu.trace import stream
+
+    for tau, expect_fast in ((8, True), (24, False)):
+        t, b = 512, 64
+        ml = next(stream.iter_trace_chunks(t, tau, t))
+        assert (stream._encode_log_rows(ml) is not None) == expect_fast
+        ref_path = str(tmp_path / f"ref{tau}.cbor")
+        write_block_summaries_auto(
+            ref_path, partition_trace(generate_trace(t, tau), b)
+        )
+        got_path = str(tmp_path / f"got{tau}.cbor")
+        stream.simulate_stream(t, b, tau, got_path, chunk_steps=128)
+        assert open(got_path, "rb").read() == open(ref_path, "rb").read()
+
+
+def test_stream_block_summaries_cbor_windowed(tmp_path):
+    """The windowed streaming CBOR block reader yields the same blocks as
+    the resident reader even when every block straddles a window refill."""
+    from sezkp_tpu.core.io import (
+        read_block_summaries_auto,
+        stream_block_summaries_cbor,
+    )
+    from sezkp_tpu.trace.stream import simulate_stream
+
+    p = str(tmp_path / "blocks.cbor")
+    simulate_stream(3000, 128, 4, p, chunk_steps=512)
+    ref = read_block_summaries_auto(p)
+    got = list(stream_block_summaries_cbor(p, window_bytes=2048))
+    assert len(got) == len(ref)
+    for a, b in zip(ref, got):
+        assert a.to_obj() == b.to_obj()
