@@ -9,13 +9,27 @@ flagship streaming path, driver.rs:524-855, deserves the flagship kernel).
 
 SEZKP_FOLD_DEVICE_HASH_MIN: batch-size threshold (messages); 0 disables.
 
-Default OFF in this image: the TPU is reached through a ~30 MB/s tunnel,
-so the host->device message transfer dominates (measured at 16384x320 B:
-device 187 ms vs host C++ 11 ms — the chain kernel itself is ~0.2 ms).
-On a co-located TPU host (PCIe DMA, >=10 GB/s) the crossover is a few
-thousand messages; deployments set SEZKP_FOLD_DEVICE_HASH_MIN=4096.
-Digests are bit-identical either way (tests/test_blake3_jax.py,
-tests/test_fold.py cover both).
+Default OFF, and measured to be the right default (scripts/bench_devhash.py,
+benchmarks/reports/devhash_r04.json, real v5e, L = 320 B MAC messages):
+
+    n       host C++   tunnel e2e   PCIe-regime estimate*
+    4096     2.7 ms      82 ms        3.9 ms
+    16384   10.8 ms     175 ms       10.5 ms
+    65536   42.6 ms     813 ms       42.9 ms
+
+*prep + bytes/10 GB/s + 8x-amortized measured kernel dispatch. Through
+this image's tunnel the device path loses by ~20-30x at every size. Even
+co-located (PCIe DMA), it only reaches break-even around n ~ 2^14-2^16
+because the host-side packing (pad + u32 view + transpose, prep_s in the
+report) grows linearly and the host C++ hash is already ~0.65 us/msg —
+so there is no regime where enabling this wins materially for fold MAC
+batches. The earlier "deployments set SEZKP_FOLD_DEVICE_HASH_MIN=4096"
+guidance was a projection and is withdrawn. The dispatch remains for
+deployments whose messages are already device-resident (the STARK line's
+in-pipeline hashing uses the Pallas kernel directly and never pays the
+pack/transfer). Digests are bit-identical either way
+(tests/test_blake3_jax.py, tests/test_fold.py, and the end-to-end TPU
+dispatch test in tests/test_fold_devhash_tpu.py).
 """
 
 from __future__ import annotations
