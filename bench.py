@@ -186,6 +186,16 @@ def main() -> None:
                 ][0],
                 4,
             ),
+            # host-inclusive Amdahl efficiency (measured t_host fraction
+            # from scripts/measure_host_transcript.py; SCALING.md)
+            "predicted_eff_with_host_T2pow23_D8": round(
+                [
+                    r.get("efficiency_with_host", r["efficiency_serial"])
+                    for r in tr["predictions"]
+                    if r["base_log2"] == 23 and r["d"] == 8
+                ][0],
+                4,
+            ),
         }
     except Exception as e:
         extra["sharded_traffic_error"] = repr(e)[:200]

@@ -17,7 +17,10 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import pathlib
 import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -115,18 +118,38 @@ def main() -> None:
           f"(measured/model = {measured_total/model['total_per_device']:.2f})")
 
     # north-star extrapolation (single-chip prove seconds from
-    # benchmarks/reports/prove_large.jsonl, tau=8 production configs)
-    print("== predicted scaling efficiency (v5e, 200 GB/s ICI/chip) ==")
+    # benchmarks/reports/prove_large.jsonl, tau=8 production configs).
+    # t_host: measured host-serialized transcript fraction from
+    # scripts/measure_host_transcript.py when a report exists (scaled
+    # linearly in T from the measured size), else 0 with a warning.
+    host_frac = 0.0
+    host_src = None
+    reports = sorted(
+        pathlib.Path(REPO, "benchmarks", "reports").glob("host_transcript_*.json")
+    )
+    if reports:
+        hr = json.loads(reports[-1].read_text())
+        host_frac = hr["host_serial_s"] / hr["total_warm_s"]
+        host_src = reports[-1].name
+    print(f"== predicted scaling efficiency (v5e, 200 GB/s ICI/chip; "
+          f"t_host from {host_src or 'NONE — host term 0'}) ==")
     rows = []
     for (b2, t1) in ((23, 17.0), (24, 45.0)):
         for dd in (2, 4, 8):
+            # ICI-only model (efficiency_serial keeps its r3 meaning) plus
+            # the host-inclusive Amdahl number alongside it
             m = scaling_model(b2, 3, dd, t1)
+            mh = scaling_model(b2, 3, dd, t1 * (1 - host_frac),
+                               host_seconds=t1 * host_frac)
+            m["t_host_s"] = mh["t_host_s"]
+            m["efficiency_with_host"] = mh["efficiency_serial"]
             rows.append({"base_log2": b2, **m})
             print(f"  T=2^{b2} (LDE 2^{b2+3}) D={dd}: "
                   f"traffic {m['traffic_per_device_bytes']/1e9:.2f} GB/dev, "
-                  f"t_comp {m['t_compute_s']:.2f}s t_ici {m['t_ici_s']:.2f}s, "
-                  f"eff serial {m['efficiency_serial']:.2%} / "
-                  f"overlapped {m['efficiency_overlapped']:.2%}")
+                  f"t_comp {m['t_compute_s']:.2f}s t_ici {m['t_ici_s']:.2f}s "
+                  f"t_host {m['t_host_s']:.2f}s, "
+                  f"eff ICI-serial {m['efficiency_serial']:.2%} / "
+                  f"with-host {m['efficiency_with_host']:.2%}")
 
     if args.json:
         with open(args.json, "w") as fh:
