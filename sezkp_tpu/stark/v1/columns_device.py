@@ -44,11 +44,12 @@ def _host_inputs(blocks) -> dict:
             is_last[row + ln - 1] = 1
         row += ln
 
-    win_len = np.stack(
-        [(np.abs(b.windows[:, 1] - b.windows[:, 0]) + 1).astype(np.uint64) for b in blocks]
-    )  # [nb, tau]
-    in_off = np.stack([b.head_in_offsets.astype(np.uint64) for b in blocks])
-    out_off = np.stack([b.head_out_offsets.astype(np.uint64) for b in blocks])
+    # one stacked conversion instead of three per-block astype loops
+    # (the per-block form was ~0.5 s of measured host-serial time at 2^22)
+    wins = np.stack([b.windows for b in blocks])  # [nb, tau, 2] int64
+    win_len = (np.abs(wins[:, :, 1] - wins[:, :, 0]) + 1).astype(np.uint64)
+    in_off = np.stack([b.head_in_offsets for b in blocks]).astype(np.uint64)
+    out_off = np.stack([b.head_out_offsets for b in blocks]).astype(np.uint64)
     return dict(
         n=n,
         tau=tau,
