@@ -265,12 +265,18 @@ def _is_jsonl(path: str) -> bool:
     return _ext(path) in ("jsonl", "ndjson")
 
 
+def _streamable(path: str) -> bool:
+    return _ext(path) in ("jsonl", "ndjson", "cbor")
+
+
 def commit_block_file(blocks_path: str, out_manifest_path: str) -> CommitManifest:
     from ..core import io as core_io
 
-    if _is_jsonl(blocks_path):
+    if _streamable(blocks_path):
+        # O(log n) frontier over the streaming reader (jsonl lines or the
+        # windowed cbor decoder) — frontier == batch root at every size
         fr = Frontier()
-        for blk in core_io.stream_block_summaries_jsonl(blocks_path):
+        for blk in core_io.stream_block_summaries_auto(blocks_path):
             fr.push_leaf(leaf_hash(blk))
         man = CommitManifest(MANIFEST_VERSION, fr.finalize_root(), fr.n)
     else:
@@ -288,9 +294,9 @@ def verify_block_file_against_manifest(blocks_path: str, manifest_path: str) -> 
     from ..core import io as core_io
 
     man = read_manifest_auto(manifest_path)
-    if _is_jsonl(blocks_path):
+    if _streamable(blocks_path):
         fr = Frontier()
-        for blk in core_io.stream_block_summaries_jsonl(blocks_path):
+        for blk in core_io.stream_block_summaries_auto(blocks_path):
             fr.push_leaf(leaf_hash(blk))
         root = fr.finalize_root()
         if root != man.root:

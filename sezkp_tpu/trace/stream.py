@@ -150,7 +150,7 @@ def _encode_log_rows(ml: MovementLog) -> np.ndarray | None:
     single-byte uint <= 23). Returns [n, 18 + 12 tau] u8, or None when a
     value falls outside the 1-byte forms (caller falls back to the generic
     encoder). ~40x faster than per-int Python encoding; output bytes are
-    identical (cross-tested in tests/test_trace_stream.py)."""
+    identical (cross-tested in tests/test_trace.py)."""
     n, tau = ml.input_mv.shape[0], ml.tape_mv.shape[1]
     if tau > 23 or n == 0:
         return None
