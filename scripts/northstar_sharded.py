@@ -99,6 +99,11 @@ def main() -> int:
     ap.add_argument("--tag", default="r04")
     ap.add_argument("--skip-single", action="store_true",
                     help="skip the single-chip run (no parity check)")
+    ap.add_argument("--single-sha", default=None,
+                    help="sha256 of encode_proof from a single-chip run on "
+                    "another backend (proof bytes are backend-invariant; "
+                    "cross-checked TPU==CPU in tests) — enables the parity "
+                    "check without re-proving single-chip on this backend")
     args = ap.parse_args()
 
     import hashlib
@@ -126,8 +131,11 @@ def main() -> int:
         "lde_log2": args.t_log2 + 3,
     }
 
-    single_sha = None
-    if not args.skip_single:
+    single_sha = args.single_sha
+    if single_sha:
+        rec["single_chip_proof_sha256"] = single_sha
+        rec["single_chip_source"] = "external (--single-sha)"
+    elif not args.skip_single:
         t0 = time.perf_counter()
         host = prove_v1(blocks, bytes([7]) * 32)
         rec["single_chip_s"] = round(time.perf_counter() - t0, 1)
